@@ -1,0 +1,225 @@
+"""DETRDetector — the framework's primary detector behind the pluggable
+detector contract.
+
+API parity with the reference detectors (ViTDetector spec
+.kiro/specs/office-person-detection/design.md:235-268; YOLOv8Detector facade
+src/detection/yolov8_detector.py:70-254): ``load_model`` / ``detect`` /
+``detect_batch`` / ``detect_with_features`` / ``extract_features`` /
+``get_attention_map`` — but the hot path is one jitted program over a whole
+frame batch: fused preprocess -> DETR forward -> fixed-shape postprocess,
+a single host->device transfer per batch instead of per frame
+(SURVEY.md §3.1 "✂ host→device→host per frame").
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dto import Detection, DetectionBatch
+from ..models.detr import DETR, DETRConfig, init_detr
+from ..models.postprocess import postprocess_detr
+from ..ops.preprocessing import preprocess_frames
+from .features import crop_histogram_features, roi_mean_pool
+
+logger = logging.getLogger(__name__)
+
+
+class DETRDetector:
+    """Batched DETR person detector on TPU (or any JAX backend)."""
+
+    def __init__(self, config: Any = None, *, detr_config: DETRConfig | None = None):
+        get = (lambda k, d: config.get(k, d)) if config is not None else (lambda k, d: d)
+        self.confidence_threshold = float(get("detection.confidence_threshold", 0.5))
+        self.batch_size = int(get("detection.batch_size", 4))
+        self.input_hw = (
+            int(get("detection.input_height", 768)),
+            int(get("detection.input_width", 1344)),
+        )
+        self.checkpoint_path = get("detection.checkpoint_path", None)
+        self.device_pref = str(get("detection.device", "auto"))
+        if detr_config is None:
+            detr_config = DETRConfig(
+                num_queries=int(get("detection.num_queries", 100)),
+                dtype=str(get("detection.dtype", "bfloat16")),
+                use_pallas_attention=bool(get("detection.use_pallas_attention", True)),
+            )
+        self.detr_config = detr_config
+        self.model: DETR | None = None
+        self.variables = None
+        self._jit_detect = None
+        self._jit_features = None
+        self.last_inference_time = 0.0
+
+    # ------------------------------------------------------------------ load
+    def load_model(self) -> None:
+        """Build the model and load weights.
+
+        Weight resolution chain (mirrors the reference's fallback chain,
+        yolov8_detector.py:77-83): explicit checkpoint (orbax dir, torch
+        .pt/.bin/.safetensors via models/weights.py) -> random init with a
+        warning (still functional for pipeline/e2e testing).
+        """
+        if self.device_pref == "cpu" and jax.default_backend() != "cpu":
+            # Honor the reference's detection.device=cpu test configs.
+            jax.config.update("jax_platforms", "cpu")
+        rng = jax.random.PRNGKey(0)
+        ckpt = self.checkpoint_path
+        if ckpt and Path(str(ckpt)).exists():
+            ckpt = Path(str(ckpt))
+            self.model = DETR(self.detr_config)
+            if ckpt.is_dir():
+                import orbax.checkpoint as ocp
+
+                self.variables = ocp.StandardCheckpointer().restore(ckpt.resolve())
+                logger.info("loaded orbax checkpoint from %s", ckpt)
+            else:
+                from ..models.weights import load_torch_checkpoint
+
+                self.variables = load_torch_checkpoint(
+                    str(ckpt),
+                    num_encoder_layers=self.detr_config.num_encoder_layers,
+                    num_decoder_layers=self.detr_config.num_decoder_layers,
+                )
+                logger.info("converted torch checkpoint from %s", ckpt)
+        else:
+            if ckpt:
+                logger.warning("checkpoint %s not found; using random init", ckpt)
+            self.model, self.variables = init_detr(
+                self.detr_config, rng, input_hw=(64, 64)
+            )
+        self.variables = jax.device_put(self.variables)
+        self._build_jits()
+
+    def _build_jits(self) -> None:
+        model = self.model
+        conf = self.confidence_threshold
+        person = self.detr_config.person_class_id
+        target_hw = self.input_hw
+
+        @jax.jit
+        def _detect(variables, frames_u8, orig_wh):
+            pixels, mask = preprocess_frames(
+                frames_u8, target_hw=target_hw,
+                out_dtype=model.config.jnp_dtype,
+            )
+            out = model.apply(variables, pixels, mask, deterministic=True)
+            batch = postprocess_detr(
+                out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
+            )
+            return batch, out["encoder_output"]
+
+        self._jit_detect = _detect
+
+    # ---------------------------------------------------------------- detect
+    def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
+        """(F, H, W, 3) uint8 BGR -> DetectionBatch (F, Q). F is padded to the
+        configured batch size internally; callers see the original F."""
+        if self.model is None:
+            self.load_model()
+        F, H, W, _ = frames.shape
+        pad = (-F) % self.batch_size
+        if pad:
+            frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
+        orig_wh = jnp.asarray([W, H], jnp.float32)
+        t0 = time.perf_counter()
+        chunks = []
+        encs = []
+        for i in range(0, len(frames), self.batch_size):
+            batch, enc = self._jit_detect(
+                self.variables, jnp.asarray(frames[i : i + self.batch_size]), orig_wh
+            )
+            chunks.append(batch)
+            encs.append(enc)
+        jax.block_until_ready(chunks[-1].scores)
+        self.last_inference_time = time.perf_counter() - t0
+        merged = DetectionBatch(
+            boxes_xywh=jnp.concatenate([c.boxes_xywh for c in chunks])[:F],
+            scores=jnp.concatenate([c.scores for c in chunks])[:F],
+            valid=jnp.concatenate([c.valid for c in chunks])[:F],
+            foot=jnp.concatenate([c.foot for c in chunks])[:F],
+        )
+        self._last_encoder_output = jnp.concatenate(encs)[:F]
+        self._last_orig_wh = (W, H)
+        return merged
+
+    def detect(self, frame: np.ndarray) -> list[Detection]:
+        batch = self.detect_batch(frame[None])
+        return batch.to_frame_results()[0].detections
+
+    def detect_with_features(
+        self, frame: np.ndarray
+    ) -> tuple[list[Detection], np.ndarray]:
+        """Detections + per-detection 256-d appearance features."""
+        batch = self.detect_batch(frame[None])
+        feats = self._pool_features(batch)
+        dets = batch.to_frame_results()[0].detections
+        valid = np.asarray(batch.valid[0])
+        feat_np = np.asarray(feats[0])[valid]
+        for det, f in zip(dets, feat_np):
+            det.feature = f
+        return dets, feat_np
+
+    def _pool_features(self, batch: DetectionBatch) -> jax.Array:
+        fh = self.input_hw[0] // 32
+        fw = self.input_hw[1] // 32
+        W, H = self._last_orig_wh
+        # The valid (non-letterbox) region of the feature grid corresponds to
+        # the resized image; scale original pixels into that region.
+        from ..ops.preprocessing import compute_resize_geometry
+
+        rh, rw = compute_resize_geometry((H, W), self.input_hw)
+        eff_w = W * (self.input_hw[1] / rw)
+        eff_h = H * (self.input_hw[0] / rh)
+        return roi_mean_pool(
+            self._last_encoder_output,
+            (fh, fw),
+            batch.boxes_xywh,
+            batch.valid,
+            jnp.asarray([eff_w, eff_h], jnp.float32),
+        )
+
+    def extract_features(
+        self, frame: np.ndarray, bboxes: list[tuple[float, float, float, float]]
+    ) -> np.ndarray:
+        """Features for externally-provided boxes (crop-histogram fallback,
+        reference yolov8_detector.py:161-190)."""
+        return crop_histogram_features(frame, np.asarray(bboxes, np.float32))
+
+    # ------------------------------------------------------------- attention
+    def get_attention_map(self, frame: np.ndarray) -> np.ndarray | None:
+        """Mean decoder cross-attention of the last layer over the feature
+        grid -> (fh, fw) float32 heat map (reference attention-map contract,
+        yolov8_detector.py:243-254 / visualizer.py:148-265)."""
+        if self.model is None:
+            self.load_model()
+        import dataclasses
+
+        cfg = dataclasses.replace(self.detr_config, use_pallas_attention=False)
+        model = DETR(cfg, sow_attn=True)
+        pixels, mask = preprocess_frames(
+            jnp.asarray(frame[None]), target_hw=self.input_hw,
+            out_dtype=cfg.jnp_dtype,
+        )
+        _, state = model.apply(
+            self.variables, pixels, mask, deterministic=True,
+            mutable=["intermediates"],
+        )
+        inter = state["intermediates"]
+        last = f"layer_{cfg.num_decoder_layers - 1}"
+        probs = inter["decoder"][last]["encoder_attn"]["attn_weights"][0]
+        # (B, H, Q, L) -> mean over heads and queries -> (fh, fw)
+        fh = self.input_hw[0] // 32
+        fw = self.input_hw[1] // 32
+        amap = np.asarray(jnp.mean(probs[0], axis=(0, 1)).reshape(fh, fw), np.float32)
+        return amap
+
+    def cleanup(self) -> None:
+        self.variables = None
+        self._jit_detect = None

@@ -1,0 +1,182 @@
+"""DETR object detector in Flax — the framework's primary person detector.
+
+Reimplements the architecture the reference system was specified around
+(facebook/detr-resnet-50 — reference .kiro/specs/office-person-detection/
+design.md:235-268, config.yaml.disabled:32-44): ResNet-50 frozen-BN backbone,
+1x1 input projection, 6+6 post-norm transformer encoder/decoder with sine
+spatial and learned query embeddings, linear class head (num_classes + 1
+no-object) and 3-layer MLP box head with sigmoid cxcywh output.
+
+Weight parity with the HF torch implementation is tested in
+tests/test_detr_parity.py via models/weights.py conversion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .position_encoding import sine_position_embedding
+from .resnet import ResNet
+from .transformer import Decoder, Encoder
+
+
+@dataclass(frozen=True)
+class DETRConfig:
+    num_queries: int = 100
+    d_model: int = 256
+    num_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    ffn_dim: int = 2048
+    num_classes: int = 91  # COCO labels; +1 no-object is implicit in the head
+    dropout: float = 0.1
+    backbone_depths: tuple[int, ...] = (3, 4, 6, 3)
+    backbone_hidden: tuple[int, ...] = (256, 512, 1024, 2048)
+    backbone_embedding: int = 64
+    dtype: str = "float32"
+    use_pallas_attention: bool = False
+    person_class_id: int = 1  # COCO "person"
+
+    @property
+    def jnp_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @classmethod
+    def tiny(cls, **kw) -> "DETRConfig":
+        """Small config for tests / multi-chip dry runs."""
+        defaults = dict(
+            num_queries=10,
+            d_model=64,
+            num_heads=4,
+            num_encoder_layers=2,
+            num_decoder_layers=2,
+            ffn_dim=128,
+            backbone_depths=(1, 1, 1, 1),
+            backbone_hidden=(32, 64, 128, 256),
+            backbone_embedding=16,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class DETR(nn.Module):
+    """Full detector. Input NHWC pixel values + bool pixel mask.
+
+    Returns dict:
+      logits : (B, Q, num_classes + 1)
+      boxes  : (B, Q, 4) sigmoid cxcywh, normalized to the *valid* image area
+      aux    : optional (L, B, Q, ...) per-decoder-layer logits/boxes when
+               ``return_aux`` (used by the training criterion).
+    """
+
+    config: DETRConfig = field(default_factory=DETRConfig)
+    sow_attn: bool = False  # capture decoder cross-attention weights into
+    # the "intermediates" collection (get_attention_map support)
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: Array,  # (B, H, W, 3) float, ImageNet-normalized
+        pixel_mask: Array | None = None,  # (B, H, W) bool, True = real pixel
+        deterministic: bool = True,
+        return_aux: bool = False,
+    ) -> dict[str, Array]:
+        cfg = self.config
+        dtype = cfg.jnp_dtype
+        B, H, W, _ = pixel_values.shape
+        if pixel_mask is None:
+            pixel_mask = jnp.ones((B, H, W), bool)
+
+        feat = ResNet(
+            depths=cfg.backbone_depths,
+            hidden_sizes=cfg.backbone_hidden,
+            embedding_size=cfg.backbone_embedding,
+            dtype=dtype,
+            name="backbone",
+        )(pixel_values.astype(dtype))
+        fh, fw = feat.shape[1], feat.shape[2]
+
+        # Downsample the pixel mask to the feature grid. Match torch
+        # F.interpolate(mode="nearest") exactly: src index = floor(dst * scale)
+        # (jax.image.resize "nearest" samples pixel centers, which differs at
+        # region boundaries).
+        idx_y = jnp.floor(jnp.arange(fh) * (H / fh)).astype(jnp.int32)
+        idx_x = jnp.floor(jnp.arange(fw) * (W / fw)).astype(jnp.int32)
+        fmask = pixel_mask[:, idx_y][:, :, idx_x]
+
+        pos = sine_position_embedding(fmask, embedding_dim=cfg.d_model // 2)
+        pos = pos.astype(dtype)
+
+        proj = nn.Conv(cfg.d_model, (1, 1), dtype=dtype, name="input_projection")(feat)
+
+        src = proj.reshape(B, fh * fw, cfg.d_model)
+        pos_flat = pos.reshape(B, fh * fw, cfg.d_model)
+        key_mask = fmask.reshape(B, fh * fw)
+
+        memory = Encoder(
+            cfg.d_model, cfg.num_heads, cfg.ffn_dim, cfg.num_encoder_layers,
+            cfg.dropout, dtype, cfg.use_pallas_attention, name="encoder",
+        )(src, pos_flat, key_mask, deterministic)
+
+        query_embed = self.param(
+            "query_position_embeddings",
+            nn.initializers.normal(1.0),
+            (cfg.num_queries, cfg.d_model),
+            jnp.float32,
+        ).astype(dtype)
+        query_pos = jnp.broadcast_to(query_embed[None], (B, cfg.num_queries, cfg.d_model))
+        tgt = jnp.zeros_like(query_pos)
+
+        hs = Decoder(
+            cfg.d_model, cfg.num_heads, cfg.ffn_dim, cfg.num_decoder_layers,
+            cfg.dropout, dtype, cfg.use_pallas_attention, sow_attn=self.sow_attn,
+            name="decoder",
+        )(tgt, query_pos, memory, pos_flat, key_mask, deterministic)
+        # hs: (L, B, Q, C)
+
+        class_head = nn.Dense(cfg.num_classes + 1, dtype=dtype, name="class_labels_classifier")
+        bbox_mlp = BBoxMLP(cfg.d_model, dtype=dtype, name="bbox_predictor")
+
+        logits_all = class_head(hs)  # (L, B, Q, num_classes+1)
+        boxes_all = jax.nn.sigmoid(bbox_mlp(hs).astype(jnp.float32))
+
+        out = {
+            "logits": logits_all[-1].astype(jnp.float32),
+            "boxes": boxes_all[-1],
+            "encoder_output": memory,
+            "feature_hw": (fh, fw),
+        }
+        if return_aux:
+            out["aux_logits"] = logits_all[:-1].astype(jnp.float32)
+            out["aux_boxes"] = boxes_all[:-1]
+        return out
+
+
+class BBoxMLP(nn.Module):
+    """3-layer MLP box head (DETR bbox_predictor)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="dense0")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="dense1")(x))
+        return nn.Dense(4, dtype=self.dtype, name="dense2")(x)
+
+
+def init_detr(config: DETRConfig, rng: jax.Array, input_hw: tuple[int, int] = (128, 160)):
+    """Initialize a DETR model + params."""
+    model = DETR(config)
+    h, w = input_hw
+    params = model.init(
+        rng,
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.ones((1, h, w), bool),
+    )
+    return model, params

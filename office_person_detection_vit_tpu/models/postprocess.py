@@ -1,0 +1,54 @@
+"""DETR output post-processing -> fixed-shape DetectionBatch.
+
+Matches HF ``post_process_object_detection`` semantics (softmax over classes,
+drop the no-object column, per-query argmax) plus the reference detector
+contract: person-class filter (COCO id 1, reference yolov8_detector.py:107-120),
+confidence threshold, cxcywh->pixel xywh, foot point (bottom-center,
+:229-241). Everything stays fixed-shape (Q slots + valid mask) — padding is
+stripped by the host serializer, never on device (SURVEY.md §7.4 item 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core.dto import DetectionBatch
+from ..ops import boxes as box_ops
+
+
+@partial(jax.jit, static_argnames=("person_class_id",))
+def postprocess_detr(
+    logits: Array,  # (F, Q, C+1)
+    pred_boxes: Array,  # (F, Q, 4) sigmoid cxcywh normalized
+    orig_size: Array,  # (2,) = (width, height) of the original frames
+    confidence_threshold: float | Array = 0.5,
+    person_class_id: int = 1,
+) -> DetectionBatch:
+    probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop no-object
+    scores = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1)
+
+    w, h = orig_size[0], orig_size[1]
+    scale = jnp.stack([w, h, w, h]).astype(jnp.float32)
+    boxes_xyxy = box_ops.cxcywh_to_xyxy(pred_boxes) * scale[None, None, :]
+    boxes_xywh = box_ops.xyxy_to_xywh(boxes_xyxy)
+
+    valid = (labels == person_class_id) & (scores >= confidence_threshold)
+    foot = box_ops.foot_point_xywh(boxes_xywh)
+    return DetectionBatch(
+        boxes_xywh=boxes_xywh,
+        scores=scores,
+        valid=valid,
+        foot=foot,
+    )
+
+
+@partial(jax.jit, static_argnames=("person_class_id",))
+def person_scores(logits: Array, person_class_id: int = 1) -> Array:
+    """(F, Q, C+1) -> (F, Q) softmax probability of the person class."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    return probs[..., person_class_id]

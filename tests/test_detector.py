@@ -1,0 +1,120 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+from office_person_detection_vit_tpu.detection.detector import DETRDetector
+from office_person_detection_vit_tpu.models.detr import DETRConfig
+from office_person_detection_vit_tpu.models.postprocess import postprocess_detr
+from office_person_detection_vit_tpu.ops.preprocessing import (
+    compute_resize_geometry,
+    preprocess_frames,
+)
+
+
+def test_postprocess_selects_person_above_threshold():
+    F, Q, C = 1, 4, 5  # classes 0..4 + implicit no-object col
+    logits = np.full((F, Q, C + 1), -10.0, np.float32)
+    logits[0, 0, 1] = 10.0  # person, high conf
+    logits[0, 1, 2] = 10.0  # not person
+    logits[0, 2, C] = 10.0  # no-object
+    logits[0, 3, 1] = 0.0  # person but low softmax score vs no-object col
+    logits[0, 3, C] = 0.5
+    boxes = np.tile(np.asarray([0.5, 0.5, 0.2, 0.4], np.float32), (F, Q, 1))
+    out = postprocess_detr(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray([1280.0, 720.0]),
+        confidence_threshold=0.5, person_class_id=1,
+    )
+    valid = np.asarray(out.valid[0])
+    assert valid.tolist() == [True, False, False, False]
+    # cxcywh (0.5, 0.5, 0.2, 0.4) @ 1280x720 -> xywh (512, 216, 256, 288)
+    np.testing.assert_allclose(np.asarray(out.boxes_xywh[0, 0]), [512, 216, 256, 288], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.foot[0, 0]), [640, 504], atol=1e-3)
+
+
+def test_preprocess_shapes_and_mask():
+    frames = np.random.default_rng(0).integers(0, 255, (2, 720, 1280, 3), np.uint8)
+    pixels, mask = preprocess_frames(jnp.asarray(frames), target_hw=(768, 1344))
+    assert pixels.shape == (2, 768, 1344, 3)
+    assert mask.shape == (2, 768, 1344)
+    rh, rw = compute_resize_geometry((720, 1280), (768, 1344))
+    m = np.asarray(mask[0])
+    assert m[:rh, :rw].all() and not m[rh:, :].any()
+
+
+def test_preprocess_normalization():
+    # A uniform gray frame maps to (0.5 - mean) / std in RGB.
+    frames = np.full((1, 64, 64, 3), 128, np.uint8)
+    pixels, _ = preprocess_frames(jnp.asarray(frames), target_hw=(64, 64))
+    from office_person_detection_vit_tpu.ops.preprocessing import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    expected = (128 / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(pixels[0, 0, 0]), expected, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    cfg = ConfigManager.from_dict(
+        {
+            "detection": {
+                "confidence_threshold": 0.0,
+                "batch_size": 2,
+                "input_height": 96,
+                "input_width": 128,
+                "dtype": "float32",
+                "use_pallas_attention": False,
+            }
+        }
+    )
+    det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+    det.load_model()
+    return det
+
+
+def test_detector_batch_shapes(tiny_detector):
+    frames = np.random.default_rng(1).integers(0, 255, (3, 72, 96, 3), np.uint8)
+    batch = tiny_detector.detect_batch(frames)
+    assert batch.boxes_xywh.shape == (3, 10, 4)
+    assert batch.scores.shape == (3, 10)
+    # foot point consistency
+    b = np.asarray(batch.boxes_xywh)
+    f = np.asarray(batch.foot)
+    np.testing.assert_allclose(f[..., 0], b[..., 0] + b[..., 2] / 2, atol=1e-3)
+    np.testing.assert_allclose(f[..., 1], b[..., 1] + b[..., 3], atol=1e-3)
+
+
+def test_detector_single_frame_api(tiny_detector):
+    frame = np.random.default_rng(2).integers(0, 255, (72, 96, 3), np.uint8)
+    dets = tiny_detector.detect(frame)
+    assert isinstance(dets, list)
+    for d in dets:
+        assert 0.0 <= d.confidence <= 1.0
+
+
+def test_detect_with_features(tiny_detector):
+    frame = np.random.default_rng(3).integers(0, 255, (72, 96, 3), np.uint8)
+    dets, feats = tiny_detector.detect_with_features(frame)
+    assert feats.shape[1] == 64  # tiny d_model
+    if len(dets):
+        # L2 normalized
+        np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-3)
+        assert dets[0].feature is not None
+
+
+def test_attention_map(tiny_detector):
+    frame = np.random.default_rng(4).integers(0, 255, (72, 96, 3), np.uint8)
+    amap = tiny_detector.get_attention_map(frame)
+    assert amap.shape == (96 // 32, 128 // 32)
+    assert np.isfinite(amap).all() and amap.min() >= 0
+
+
+def test_extract_features_crop_fallback(tiny_detector):
+    frame = np.random.default_rng(5).integers(0, 255, (72, 96, 3), np.uint8)
+    feats = tiny_detector.extract_features(frame, [(10.0, 10.0, 30.0, 40.0)])
+    assert feats.shape == (1, 256)
+    np.testing.assert_allclose(np.linalg.norm(feats[0]), 1.0, atol=1e-4)

@@ -1,0 +1,144 @@
+"""Numerical parity: Flax DETR vs HF torch DetrForObjectDetection.
+
+Builds a small random-weight HF model (offline, use_timm_backbone=False),
+converts its state_dict with models/weights.py and checks logits/boxes agree.
+This validates every conversion convention (conv transpose, BN folding,
+attention q/k/v wiring, sine embedding, post-norm order) without network
+access to the pretrained checkpoint (SURVEY.md §7.4 item 1).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from office_person_detection_vit_tpu.models.detr import DETR, DETRConfig
+from office_person_detection_vit_tpu.models.weights import convert_torch_state_dict
+
+
+def _build_pair(num_labels=11):
+    from transformers import DetrConfig as HFDetrConfig
+    from transformers import DetrForObjectDetection, ResNetConfig
+
+    depths = (1, 1, 1, 1)
+    hidden = (32, 64, 128, 256)
+    rc = ResNetConfig(
+        depths=list(depths),
+        hidden_sizes=list(hidden),
+        embedding_size=16,
+        layer_type="bottleneck",
+        out_features=["stage4"],
+    )
+    hf_cfg = HFDetrConfig(
+        use_timm_backbone=False,
+        backbone_config=rc,
+        use_pretrained_backbone=False,
+        num_labels=num_labels,
+        d_model=64,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        decoder_ffn_dim=128,
+        num_queries=10,
+        dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = DetrForObjectDetection(hf_cfg).eval()
+    # Randomize BN running stats so folding is actually exercised.
+    with torch.no_grad():
+        for mod in hf_model.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    cfg = DETRConfig(
+        num_queries=10,
+        d_model=64,
+        num_heads=4,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        ffn_dim=128,
+        num_classes=num_labels,
+        dropout=0.0,
+        backbone_depths=depths,
+        backbone_hidden=hidden,
+        backbone_embedding=16,
+    )
+    flax_model = DETR(cfg)
+    variables = convert_torch_state_dict(
+        hf_model.state_dict(), num_encoder_layers=2, num_decoder_layers=2
+    )
+    return hf_model, flax_model, variables
+
+
+@pytest.mark.slow
+def test_full_model_parity():
+    import jax.numpy as jnp
+
+    hf_model, flax_model, variables = _build_pair()
+    rng = np.random.default_rng(0)
+    H, W = 96, 128
+    img = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    mask = np.ones((2, H, W), bool)
+    mask[1, :, 100:] = False  # ragged batch: second image narrower
+
+    with torch.no_grad():
+        t_out = hf_model(
+            pixel_values=torch.from_numpy(img).permute(0, 3, 1, 2),
+            pixel_mask=torch.from_numpy(mask.astype(np.int64)),
+        )
+    j_out = flax_model.apply(
+        variables, jnp.asarray(img), jnp.asarray(mask), deterministic=True
+    )
+
+    t_logits = t_out.logits.numpy()
+    t_boxes = t_out.pred_boxes.numpy()
+    j_logits = np.asarray(j_out["logits"])
+    j_boxes = np.asarray(j_out["boxes"])
+
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(j_boxes, t_boxes, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_parity_with_pallas_interpret():
+    """Same outputs when attention runs through the Pallas kernel (interpret on CPU)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from office_person_detection_vit_tpu.ops import attention as attn_mod
+
+    hf_model, flax_model, variables = _build_pair()
+    cfg = dataclasses.replace(flax_model.config, use_pallas_attention=True)
+    pallas_model = DETR(cfg)
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 96, 128, 3)).astype(np.float32)
+    mask = np.ones((1, 96, 128), bool)
+
+    ref = flax_model.apply(variables, jnp.asarray(img), jnp.asarray(mask))
+    # Force interpret mode so the kernel runs on CPU.
+    orig = attn_mod.attention_pallas
+    try:
+        attn_mod_attention_pallas = orig
+
+        def interp(q, k, v, m=None, **kw):
+            return orig(q, k, v, m, interpret=True)
+
+        attn_mod.attention_pallas = interp
+        out = pallas_model.apply(variables, jnp.asarray(img), jnp.asarray(mask))
+    finally:
+        attn_mod.attention_pallas = orig
+
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]), atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(ref["boxes"]), atol=1e-3
+    )
