@@ -1,0 +1,99 @@
+"""Lens distortion correction (reference src/calibration/lens_distortion.py).
+
+Brown radial+tangential model; the point-undistortion runs through the jitted
+fixed-point iteration in ops/geometry (no cv2 dependency on the hot path).
+Chessboard calibration helpers stay host-side cv2 (tool-time only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry
+
+
+@dataclass(frozen=True)
+class DistortionParams:
+    k1: float = 0.0
+    k2: float = 0.0
+    k3: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    focal_length_x: float = 1250.0
+    focal_length_y: float = 1250.0
+    center_x: float = 640.0
+    center_y: float = 360.0
+    image_width: int = 1280
+    image_height: int = 720
+
+    @classmethod
+    def from_config(cls, cfg: Any, prefix: str = "transform.lens_distortion") -> "DistortionParams":
+        g = lambda k, d: cfg.get(f"{prefix}.{k}", d)
+        return cls(
+            k1=float(g("k1", 0.0)), k2=float(g("k2", 0.0)), k3=float(g("k3", 0.0)),
+            p1=float(g("p1", 0.0)), p2=float(g("p2", 0.0)),
+            focal_length_x=float(g("focal_length_x", 1250.0)),
+            focal_length_y=float(g("focal_length_y", 1250.0)),
+            center_x=float(g("center_x", 640.0)), center_y=float(g("center_y", 360.0)),
+            image_width=int(g("image_width", 1280)), image_height=int(g("image_height", 720)),
+        )
+
+    @property
+    def camera_matrix(self) -> np.ndarray:
+        return np.asarray(
+            [
+                [self.focal_length_x, 0.0, self.center_x],
+                [0.0, self.focal_length_y, self.center_y],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float64,
+        )
+
+    @property
+    def dist_coeffs(self) -> np.ndarray:
+        return np.asarray([self.k1, self.k2, self.p1, self.p2, self.k3], np.float64)
+
+    @property
+    def is_identity(self) -> bool:
+        return not any([self.k1, self.k2, self.k3, self.p1, self.p2])
+
+
+class LensDistortionCorrector:
+    def __init__(self, params: DistortionParams):
+        self.params = params
+        self._K = jnp.asarray(params.camera_matrix, jnp.float32)
+        self._d = jnp.asarray(params.dist_coeffs, jnp.float32)
+
+    @classmethod
+    def from_config(cls, cfg: Any) -> "LensDistortionCorrector":
+        return cls(DistortionParams.from_config(cfg))
+
+    def undistort_point(self, x: float, y: float) -> tuple[float, float]:
+        out = self.undistort_points(np.asarray([[x, y]], np.float32))[0]
+        return float(out[0]), float(out[1])
+
+    def undistort_points(self, points: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(points, np.float32))
+        if self.params.is_identity:
+            return pts
+        return np.asarray(
+            geometry.undistort_points(jnp.asarray(pts), self._K, self._d, num_iters=20)
+        )
+
+    def distort_points(self, points: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(points, np.float32))
+        if self.params.is_identity:
+            return pts
+        return np.asarray(geometry.distort_points(jnp.asarray(pts), self._K, self._d))
+
+    def undistort_image(self, image: np.ndarray) -> np.ndarray:  # pragma: no cover
+        """Full-image undistortion (host-side cv2; tool/visualization use)."""
+        import cv2
+
+        return cv2.undistort(
+            image, self.params.camera_matrix, self.params.dist_coeffs
+        )

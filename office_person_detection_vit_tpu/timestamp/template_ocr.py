@@ -1,0 +1,152 @@
+"""Built-in template-matching digit OCR engine (no external dependencies).
+
+The reference relies on tesseract/easyocr/paddleocr binaries
+(src/timestamp/ocr_engine.py:32-56), none of which ship in a hermetic TPU
+container. This engine recognizes the timestamp charset (digits, '/', ':',
+space) by normalized cross-correlation against glyph templates rendered with
+the same Hershey font family burned into the synthetic test videos. It slots
+into MultiEngineOCR like any other engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHARSET = "0123456789/:"
+
+
+class TemplateOCREngine:
+    name = "template"
+
+    def __init__(self, glyph_h: int = 32, glyph_w: int = 20):
+        self.glyph_h = glyph_h
+        self.glyph_w = glyph_w
+        self._templates: dict[str, np.ndarray] | None = None
+
+    def _render_templates(self) -> dict[str, np.ndarray]:
+        """Render the whole charset as one string and segment it with the
+        same pipeline used at recognition time, so every template glyph is
+        clipped to the common text band exactly like a real observation
+        (otherwise band-relative glyphs such as ':' mismatch)."""
+        import cv2
+
+        canvas = np.zeros((80, 40 * len(CHARSET) + 40), np.uint8)
+        cv2.putText(
+            canvas, CHARSET, (10, 58), cv2.FONT_HERSHEY_SIMPLEX, 1.7, 255, 3, cv2.LINE_AA
+        )
+        _, binary = cv2.threshold(canvas, 32, 255, cv2.THRESH_BINARY)
+        boxes = self._segment(binary)
+        if len(boxes) != len(CHARSET):  # pragma: no cover - font safety net
+            raise RuntimeError(
+                f"template segmentation found {len(boxes)} glyphs for {len(CHARSET)} chars"
+            )
+        out = {}
+        for ch, (x0, y0, x1, y1) in zip(CHARSET, boxes):
+            glyph = binary[y0:y1, x0:x1].astype(np.float32)
+            out[ch] = cv2.resize(glyph, (self.glyph_w, self.glyph_h))
+        return out
+
+    @property
+    def templates(self) -> dict[str, np.ndarray]:
+        if self._templates is None:
+            self._templates = self._render_templates()
+        return self._templates
+
+    def is_available(self) -> bool:
+        try:
+            import cv2  # noqa: F401
+
+            return True
+        except Exception:  # pragma: no cover
+            return False
+
+    # ------------------------------------------------------------------ OCR
+    def extract(self, image: np.ndarray) -> tuple[str, float]:
+        """Grayscale ROI -> (text, confidence in [0, 1])."""
+        import cv2
+
+        if image.ndim == 3:
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+        # Binarize bright text (burned-in timestamps are white-ish).
+        _, binary = cv2.threshold(image, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        if binary.mean() > 127:  # inverted polarity
+            binary = 255 - binary
+
+        boxes = self._segment(binary)
+        if not boxes:
+            return "", 0.0
+        chars: list[str] = []
+        scores: list[float] = []
+        prev_x1 = None
+        widths = [x1 - x0 for x0, _, x1, _ in boxes]
+        median_w = float(np.median(widths)) if widths else 1.0
+        for x0, y0, x1, y1 in boxes:
+            if prev_x1 is not None and x0 - prev_x1 > 0.9 * median_w:
+                chars.append(" ")
+            prev_x1 = x1
+            glyph = binary[y0:y1, x0:x1].astype(np.float32)
+            glyph = cv2.resize(glyph, (self.glyph_w, self.glyph_h))
+            best_ch, best_score = "", -1.0
+            for ch, tmpl in self.templates.items():
+                score = self._ncc(glyph, tmpl)
+                if score > best_score:
+                    best_ch, best_score = ch, score
+            chars.append(best_ch)
+            scores.append(max(best_score, 0.0))
+        text = "".join(chars)
+        conf = float(np.mean(scores)) if scores else 0.0
+        return text, conf
+
+    @staticmethod
+    def _ncc(a: np.ndarray, b: np.ndarray) -> float:
+        a = a - a.mean()
+        b = b - b.mean()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom < 1e-9:
+            return 0.0
+        return float((a * b).sum() / denom)
+
+    @staticmethod
+    def _segment(binary: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Connected-component char boxes, left-to-right.
+
+        Components whose x-ranges overlap are merged into one glyph box —
+        this reassembles multi-part glyphs, most importantly the two dots of
+        ':' which would otherwise be dropped as specks.
+        """
+        import cv2
+
+        n, _, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=8)
+        raw = []
+        for i in range(1, n):
+            x, y, w, h, area = stats[i]
+            if area < 3:
+                continue
+            raw.append((int(x), int(y), int(x + w), int(y + h), int(area)))
+        raw.sort(key=lambda b: b[0])
+
+        merged: list[list[int]] = []
+        for x0, y0, x1, y1, area in raw:
+            if merged and x0 < merged[-1][2] - 1:  # x-overlap -> same glyph
+                m = merged[-1]
+                m[0] = min(m[0], x0)
+                m[1] = min(m[1], y0)
+                m[2] = max(m[2], x1)
+                m[3] = max(m[3], y1)
+                m[4] += area
+            else:
+                merged.append([x0, y0, x1, y1, area])
+
+        h_img = binary.shape[0]
+        boxes = [
+            (m[0], m[1], m[2], m[3])
+            for m in merged
+            if m[4] >= 8 and (m[3] - m[1]) >= h_img * 0.15
+        ]
+        if not boxes:
+            return boxes
+        # Common baseline: clip each box vertically to the union band so
+        # noise specks don't skew glyph normalization.
+        y0 = min(b[1] for b in boxes)
+        y1 = max(b[3] for b in boxes)
+        return [(x0, y0, x1, y1) for x0, _, x1, _ in boxes]

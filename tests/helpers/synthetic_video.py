@@ -1,0 +1,67 @@
+"""Synthetic test-video generation: burned-in timestamps + moving "people".
+
+Renders the timestamp with the Hershey font family the template OCR engine
+is calibrated for, in the reference's ROI region (right-top,
+config.yaml timestamp.extraction.roi), so Phase-1 extraction can be tested
+end-to-end without tesseract.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+
+
+def render_frame(
+    timestamp: datetime,
+    width: int = 1280,
+    height: int = 720,
+    people: list[tuple[int, int]] | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """One BGR frame with timestamp text burned into the top-right ROI."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    frame = np.full((height, width, 3), 40, np.uint8)
+    frame += rng.integers(0, 12, frame.shape, np.uint8)
+    # people as dark rectangles with a lighter "head"
+    for x, y in people or []:
+        cv2.rectangle(frame, (x, y), (x + 50, y + 130), (70, 60, 150), -1)
+        cv2.circle(frame, (x + 25, y - 12), 14, (90, 120, 180), -1)
+    text = timestamp.strftime("%Y/%m/%d %H:%M:%S")
+    # ROI: x >= 0.70w, y in [0.045h, 0.105h): put text inside it.
+    org = (int(width * 0.715), int(height * 0.09))
+    cv2.putText(frame, text, org, cv2.FONT_HERSHEY_SIMPLEX, 0.85, (255, 255, 255), 2, cv2.LINE_AA)
+    return frame
+
+
+def write_video(
+    path: str | Path,
+    num_frames: int = 60,
+    fps: float = 30.0,
+    start_time: datetime | None = None,
+    time_compression_ratio: float = 313.0,
+    width: int = 1280,
+    height: int = 720,
+    people_fn=None,
+) -> Path:
+    """Timelapse video: wall-clock advances ratio/fps seconds per frame."""
+    import cv2
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    start_time = start_time or datetime(2025, 1, 20, 9, 0, 0)
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+    )
+    if not writer.isOpened():
+        raise IOError("VideoWriter failed to open (mp4v codec unavailable?)")
+    for i in range(num_frames):
+        wall = start_time + timedelta(seconds=i / fps * time_compression_ratio)
+        people = people_fn(i) if people_fn else [(300 + 2 * i, 300), (700 - 2 * i, 350)]
+        writer.write(render_frame(wall, width, height, people, seed=i))
+    writer.release()
+    return path

@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.calibration.lens_distortion import (
+    DistortionParams,
+    LensDistortionCorrector,
+)
+from office_person_detection_vit_tpu.calibration.reprojection_error import (
+    ReprojectionErrorEvaluator,
+)
+from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+from office_person_detection_vit_tpu.core.dto import Detection
+from office_person_detection_vit_tpu.transform.floormap_config import FloorMapConfig
+from office_person_detection_vit_tpu.transform.homography import HomographyTransformer
+from office_person_detection_vit_tpu.transform.piecewise_affine import (
+    PiecewiseAffineTransformer,
+    ThinPlateSplineTransformer,
+    build_transformer,
+)
+
+
+@pytest.fixture
+def ref_cfg(homography_matrix, zones_config):
+    return ConfigManager.from_dict(
+        {"homography": {"matrix": homography_matrix.tolist()}, "zones": zones_config}
+    )
+
+
+def test_homography_from_config(ref_cfg):
+    t = HomographyTransformer.from_config(ref_cfg)
+    out = t.transform_pixel(640.0, 500.0)
+    assert all(np.isfinite(out))
+
+
+def test_homography_transform_detections(ref_cfg):
+    t = HomographyTransformer.from_config(ref_cfg)
+    dets = [Detection(bbox=(600.0, 400.0, 60.0, 150.0), confidence=0.9)]
+    t.transform_detections(dets)
+    assert dets[0].floor_coords_px is not None
+    assert dets[0].floor_coords_mm is not None
+    # mm consistent with floormap constants
+    fm = FloorMapConfig()
+    px = np.asarray(dets[0].floor_coords_px)
+    np.testing.assert_allclose(
+        np.asarray(dets[0].floor_coords_mm), fm.px_to_mm(px), rtol=1e-4
+    )
+
+
+def test_foot_point_static():
+    assert HomographyTransformer.get_foot_point((10, 20, 30, 40)) == (25.0, 60.0)
+
+
+def test_pwa_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 100, (10, 2))
+    A = np.asarray([[2.0, 0.0], [0.0, 1.5]])
+    dst = src @ A.T
+    t = PiecewiseAffineTransformer(src, dst)
+    p = tmp_path / "pwa.pkl"
+    t.save(p)
+    t2 = PiecewiseAffineTransformer.load(p)
+    q = np.asarray([[50.0, 50.0]], np.float32)
+    np.testing.assert_allclose(t.transform_batch(q), t2.transform_batch(q), atol=1e-4)
+    info = t2.get_info()
+    assert info["training_error"]["rmse"] < 0.1
+    assert info["num_triangles"] > 0
+
+
+def test_pwa_correspondence_file(tmp_path):
+    import json
+
+    rng = np.random.default_rng(1)
+    src = rng.uniform(0, 100, (8, 2))
+    dst = src * 2
+    p = tmp_path / "corr.json"
+    p.write_text(json.dumps({"points": [
+        {"camera": s.tolist(), "floormap": d.tolist()} for s, d in zip(src, dst)
+    ]}))
+    t = PiecewiseAffineTransformer.from_correspondence_file(p)
+    np.testing.assert_allclose(
+        t.transform_batch(np.asarray([[30.0, 40.0]], np.float32)), [[60.0, 80.0]], atol=0.5
+    )
+
+
+def test_tps_facade():
+    rng = np.random.default_rng(2)
+    src = rng.uniform(0, 100, (10, 2))
+    dst = src + 5
+    t = ThinPlateSplineTransformer(src, dst)
+    assert t.training_error()["rmse"] < 0.1
+
+
+def test_build_transformer_selects_method(ref_cfg, tmp_path):
+    t = build_transformer(ref_cfg)
+    assert t.method == "homography"
+    ref_cfg.set("transform.method", "piecewise_affine")
+    with pytest.raises(FileNotFoundError):
+        build_transformer(ref_cfg)
+    ref_cfg.set("transform.method", "bogus")
+    with pytest.raises(ValueError):
+        build_transformer(ref_cfg)
+
+
+def test_pwa_with_undistorter():
+    params = DistortionParams(k1=-0.05)
+    und = LensDistortionCorrector(params)
+    rng = np.random.default_rng(3)
+    src_true = rng.uniform(200, 1000, (10, 2))
+    dst = src_true * 1.5
+    src_distorted = und.distort_points(src_true)
+    t = PiecewiseAffineTransformer(src_distorted, dst, undistorter=und)
+    out = t.transform_batch(und.distort_points(np.asarray([[500.0, 400.0]])))
+    np.testing.assert_allclose(out, [[750.0, 600.0]], atol=1.0)
+
+
+def test_identity_distortion_passthrough():
+    und = LensDistortionCorrector(DistortionParams())
+    pts = np.asarray([[100.0, 200.0]], np.float32)
+    np.testing.assert_array_equal(und.undistort_points(pts), pts)
+
+
+def test_reprojection_evaluator(ref_cfg):
+    t = HomographyTransformer.from_config(ref_cfg)
+    src = np.asarray([[640.0, 500.0], [700.0, 550.0]], np.float32)
+    dst = t.transform_batch(src)
+    result = ReprojectionErrorEvaluator(t).evaluate(src, dst)
+    assert result["rmse"] < 1e-3
+    assert result["num_points"] == 2
