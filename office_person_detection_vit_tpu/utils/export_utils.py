@@ -1,0 +1,236 @@
+"""Track/video exporters (reference src/utils/export_utils.py:30-776).
+
+* :class:`TrajectoryExporter` — tracked frame results → CSV / JSON /
+  annotated image sequence / MP4 (reference :47-315).
+* :class:`SideBySideVideoExporter` — timestamp-matched pairing of detection
+  images and floormap images, horizontally stacked into one MP4
+  (reference :350-776).
+
+All host-side OpenCV; consumes pipeline artifacts only.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Sequence
+
+import cv2
+import numpy as np
+
+from ..core.dto import FrameResult
+from .image_utils import draw_detections
+
+logger = logging.getLogger(__name__)
+
+
+class TrajectoryExporter:
+    """Export per-track trajectories from tracked FrameResults."""
+
+    def __init__(self, output_dir: str | Path):
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+    # -------------------------------------------------------------- tabular
+    def export_csv(self, frames: Sequence[FrameResult], name: str = "tracks.csv") -> Path:
+        """frame,timestamp,track_id,x,y,w,h,confidence rows, one per tracked
+        detection (reference export_utils.py:47-120)."""
+        path = self.output_dir / name
+        with path.open("w", newline="", encoding="utf-8") as f:
+            writer = csv.writer(f)
+            writer.writerow(
+                ["frame", "timestamp", "track_id", "x", "y", "w", "h", "confidence"]
+            )
+            for fr in frames:
+                for det in fr.detections:
+                    if det.track_id is None:
+                        continue
+                    writer.writerow(
+                        [
+                            fr.frame_number,
+                            fr.timestamp_str,
+                            det.track_id,
+                            f"{det.bbox[0]:.1f}",
+                            f"{det.bbox[1]:.1f}",
+                            f"{det.bbox[2]:.1f}",
+                            f"{det.bbox[3]:.1f}",
+                            f"{det.confidence:.3f}",
+                        ]
+                    )
+        return path
+
+    def export_mot_csv(
+        self, frames: Sequence[FrameResult], name: str = "tracks_mot.csv"
+    ) -> Path:
+        """MOTChallenge format: frame,id,x,y,w,h,conf,-1,-1,-1 with 1-based
+        frame indices (reference phases/tracking.py:348-378)."""
+        path = self.output_dir / name
+        with path.open("w", newline="", encoding="utf-8") as f:
+            writer = csv.writer(f)
+            for idx, fr in enumerate(frames, start=1):
+                for det in fr.detections:
+                    if det.track_id is None:
+                        continue
+                    writer.writerow(
+                        [
+                            idx,
+                            det.track_id,
+                            f"{det.bbox[0]:.2f}",
+                            f"{det.bbox[1]:.2f}",
+                            f"{det.bbox[2]:.2f}",
+                            f"{det.bbox[3]:.2f}",
+                            f"{det.confidence:.3f}",
+                            -1,
+                            -1,
+                            -1,
+                        ]
+                    )
+        return path
+
+    def export_json(
+        self, frames: Sequence[FrameResult], name: str = "tracks.json"
+    ) -> Path:
+        """Per-track trajectory JSON keyed by track id (reference :150-230)."""
+        tracks: dict[int, dict] = {}
+        for fr in frames:
+            for det in fr.detections:
+                if det.track_id is None:
+                    continue
+                entry = tracks.setdefault(
+                    det.track_id,
+                    {"track_id": det.track_id, "trajectory": []},
+                )
+                point = {
+                    "frame": fr.frame_number,
+                    "timestamp": fr.timestamp_str,
+                    "bbox": [round(float(v), 1) for v in det.bbox],
+                    "confidence": round(float(det.confidence), 3),
+                }
+                if det.floor_coords_mm is not None:
+                    point["floor_mm"] = [
+                        round(float(v), 1) for v in det.floor_coords_mm
+                    ]
+                entry["trajectory"].append(point)
+        path = self.output_dir / name
+        path.write_text(
+            json.dumps(
+                {"num_tracks": len(tracks), "tracks": list(tracks.values())},
+                indent=2,
+            ),
+            encoding="utf-8",
+        )
+        return path
+
+    # --------------------------------------------------------------- imagery
+    def export_image_sequence(
+        self,
+        frames: Sequence[FrameResult],
+        images: Sequence[np.ndarray],
+        prefix: str = "tracked",
+    ) -> list[Path]:
+        paths = []
+        for fr, img in zip(frames, images):
+            out = self.output_dir / f"{prefix}_{fr.frame_number:06d}.jpg"
+            cv2.imwrite(str(out), draw_detections(img, fr.detections, draw_track_ids=True))
+            paths.append(out)
+        return paths
+
+    def export_video(
+        self,
+        frames: Sequence[FrameResult],
+        images: Sequence[np.ndarray],
+        name: str = "tracks.mp4",
+        fps: float = 2.0,
+    ) -> Path | None:
+        if not images:
+            return None
+        h, w = images[0].shape[:2]
+        path = self.output_dir / name
+        writer = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        try:
+            for fr, img in zip(frames, images):
+                writer.write(draw_detections(img, fr.detections, draw_track_ids=True))
+        finally:
+            writer.release()
+        return path
+
+
+_TS_PATTERN = re.compile(r"(\d{8}[_-]?\d{6}|\d{6})")
+
+
+def _timestamp_key(path: Path) -> str:
+    """Timestamp-ish token from a filename for pairing (reference :350-430)."""
+    m = _TS_PATTERN.search(path.stem)
+    return m.group(1) if m else path.stem
+
+
+class SideBySideVideoExporter:
+    """Pair detection images with floormap images by timestamp token and
+    write an hstacked MP4 (reference export_utils.py:587-776)."""
+
+    def __init__(self, fps: float = 2.0, height: int = 720):
+        self.fps = fps
+        self.height = height
+
+    def _resize_to_height(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        if h == self.height:
+            return img
+        scale = self.height / h
+        return cv2.resize(img, (int(round(w * scale)), self.height))
+
+    def pair_images(
+        self, detection_dir: str | Path, floormap_dir: str | Path
+    ) -> list[tuple[Path, Path]]:
+        det = {
+            _timestamp_key(p): p
+            for p in sorted(Path(detection_dir).glob("*.jpg"))
+        } | {
+            _timestamp_key(p): p
+            for p in sorted(Path(detection_dir).glob("*.png"))
+        }
+        fm = {
+            _timestamp_key(p): p
+            for p in sorted(Path(floormap_dir).glob("*.png"))
+        } | {
+            _timestamp_key(p): p
+            for p in sorted(Path(floormap_dir).glob("*.jpg"))
+        }
+        keys = sorted(set(det) & set(fm))
+        return [(det[k], fm[k]) for k in keys]
+
+    def export(
+        self,
+        detection_dir: str | Path,
+        floormap_dir: str | Path,
+        output_path: str | Path,
+    ) -> Path | None:
+        pairs = self.pair_images(detection_dir, floormap_dir)
+        if not pairs:
+            logger.warning("no timestamp-matched image pairs; skipping video")
+            return None
+        first_l = self._resize_to_height(cv2.imread(str(pairs[0][0])))
+        first_r = self._resize_to_height(cv2.imread(str(pairs[0][1])))
+        width = first_l.shape[1] + first_r.shape[1]
+        out = Path(output_path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        writer = cv2.VideoWriter(
+            str(out), cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (width, self.height)
+        )
+        try:
+            for left_path, right_path in pairs:
+                left = self._resize_to_height(cv2.imread(str(left_path)))
+                right = self._resize_to_height(cv2.imread(str(right_path)))
+                canvas = np.zeros((self.height, width, 3), np.uint8)
+                canvas[:, : left.shape[1]] = left
+                canvas[:, left.shape[1] : left.shape[1] + right.shape[1]] = right
+                writer.write(canvas)
+        finally:
+            writer.release()
+        logger.info("wrote side-by-side video with %d frames -> %s", len(pairs), out)
+        return out

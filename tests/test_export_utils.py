@@ -1,0 +1,78 @@
+"""TrajectoryExporter / SideBySideVideoExporter."""
+
+import csv
+import json
+
+import cv2
+import numpy as np
+
+from office_person_detection_vit_tpu.core.dto import Detection, FrameResult
+from office_person_detection_vit_tpu.utils.export_utils import (
+    SideBySideVideoExporter,
+    TrajectoryExporter,
+)
+
+
+def _frames():
+    d1 = Detection(bbox=(10, 10, 20, 40), confidence=0.9, track_id=1)
+    d2 = Detection(bbox=(50, 10, 20, 40), confidence=0.8, track_id=2)
+    d3 = Detection(bbox=(12, 12, 20, 40), confidence=0.95, track_id=1)
+    untracked = Detection(bbox=(0, 0, 5, 5), confidence=0.4)
+    return [
+        FrameResult(0, "2025-01-01 10:00:00", [d1, d2, untracked]),
+        FrameResult(1, "2025-01-01 10:05:00", [d3]),
+    ]
+
+
+class TestTrajectoryExporter:
+    def test_csv(self, tmp_path):
+        path = TrajectoryExporter(tmp_path).export_csv(_frames())
+        rows = list(csv.reader(path.open()))
+        assert rows[0][:3] == ["frame", "timestamp", "track_id"]
+        assert len(rows) == 4  # header + 3 tracked detections
+        assert rows[1][2] == "1"
+
+    def test_mot_csv_one_based_frames(self, tmp_path):
+        path = TrajectoryExporter(tmp_path).export_mot_csv(_frames())
+        rows = list(csv.reader(path.open()))
+        assert len(rows) == 3
+        assert rows[0][0] == "1" and rows[2][0] == "2"
+        assert rows[0][7:] == ["-1", "-1", "-1"]
+
+    def test_json_groups_by_track(self, tmp_path):
+        path = TrajectoryExporter(tmp_path).export_json(_frames())
+        data = json.loads(path.read_text())
+        assert data["num_tracks"] == 2
+        track1 = next(t for t in data["tracks"] if t["track_id"] == 1)
+        assert len(track1["trajectory"]) == 2
+
+    def test_video(self, tmp_path):
+        images = [np.zeros((120, 160, 3), np.uint8)] * 2
+        path = TrajectoryExporter(tmp_path).export_video(_frames(), images, fps=2)
+        assert path is not None and path.exists() and path.stat().st_size > 0
+
+
+class TestSideBySide:
+    def test_pair_and_export(self, tmp_path):
+        det_dir = tmp_path / "det"
+        fm_dir = tmp_path / "fm"
+        det_dir.mkdir()
+        fm_dir.mkdir()
+        for ts in ("20250101_100000", "20250101_100500"):
+            cv2.imwrite(str(det_dir / f"detection_{ts}.jpg"), np.zeros((72, 128, 3), np.uint8))
+            cv2.imwrite(str(fm_dir / f"floormap_{ts}.png"), np.full((100, 90, 3), 128, np.uint8))
+        # One unmatched file on each side must be dropped.
+        cv2.imwrite(str(det_dir / "detection_20250101_101000.jpg"), np.zeros((72, 128, 3), np.uint8))
+        exporter = SideBySideVideoExporter(fps=2, height=72)
+        pairs = exporter.pair_images(det_dir, fm_dir)
+        assert len(pairs) == 2
+        out = exporter.export(det_dir, fm_dir, tmp_path / "sbs.mp4")
+        assert out is not None and out.stat().st_size > 0
+
+    def test_no_pairs(self, tmp_path):
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        out = SideBySideVideoExporter().export(
+            tmp_path / "a", tmp_path / "b", tmp_path / "o.mp4"
+        )
+        assert out is None
