@@ -1,0 +1,77 @@
+"""Entry point (reference main.py:20-136).
+
+argparse -> config -> logging -> orchestrate 5 phases -> optional evaluation
+-> summary. Exit codes: 0 ok, 1 config error, 2 runtime error, 130 SIGINT
+(reference main.py:120-131).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from office_person_detection_vit_tpu.cli.arguments import parse_arguments
+from office_person_detection_vit_tpu.config.config_manager import (
+    ConfigManager,
+    ConfigValidationError,
+)
+from office_person_detection_vit_tpu.pipeline.orchestrator import PipelineOrchestrator
+from office_person_detection_vit_tpu.utils.logging_utils import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_arguments(argv)
+    setup_logging(debug=args.debug)
+    orchestrator = None
+    try:
+        config = ConfigManager(args.config)
+        config.validate()
+        if args.debug:
+            config.set("output.debug_mode", True)
+        # Re-point the file log into the output dir (reference main.py:53-55).
+        setup_logging(debug=args.debug, output_dir=config.get("output.directory", "output"))
+
+        orchestrator = PipelineOrchestrator(config, logging.getLogger("pipeline"))
+        start, end = orchestrator.parse_datetime_range(args.start_time, args.end_time)
+
+        result = orchestrator.run(
+            start_time=start,
+            end_time=end,
+            resume_session=args.resume,
+            timestamps_only=args.timestamps_only,
+        )
+        logger.info("pipeline finished: %s", result)
+
+        if args.evaluate:
+            from office_person_detection_vit_tpu.evaluation.evaluation_module import (
+                run_evaluation,
+            )
+
+            run_evaluation(config, orchestrator.frame_results,
+                           orchestrator.output.session_dir)
+        return 0
+    except (ConfigValidationError, FileNotFoundError) as e:
+        logger.error("configuration error: %s", e)
+        return 1
+    except KeyboardInterrupt:
+        logger.warning("interrupted")
+        if orchestrator is not None:
+            orchestrator.save_session_summary(status="cancelled")
+        return 130
+    except Exception:
+        logger.exception("pipeline failed")
+        if orchestrator is not None:
+            try:
+                orchestrator.save_session_summary(status="failed")
+            except Exception:
+                pass
+        return 2
+    finally:
+        if orchestrator is not None:
+            orchestrator.cleanup()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

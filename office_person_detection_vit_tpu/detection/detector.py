@@ -45,11 +45,18 @@ class DETRDetector:
         self.checkpoint_path = get("detection.checkpoint_path", None)
         self.device_pref = str(get("detection.device", "auto"))
         if detr_config is None:
-            detr_config = DETRConfig(
+            common = dict(
                 num_queries=int(get("detection.num_queries", 100)),
                 dtype=str(get("detection.dtype", "bfloat16")),
                 use_pallas_attention=bool(get("detection.use_pallas_attention", True)),
             )
+            # model_size=tiny gives a small random-init model for tests and
+            # multi-chip dry runs; "full" is the DETR-ResNet50 architecture.
+            if str(get("detection.model_size", "full")) == "tiny":
+                common.pop("num_queries")
+                detr_config = DETRConfig.tiny(**common)
+            else:
+                detr_config = DETRConfig(**common)
         self.detr_config = detr_config
         self.model: DETR | None = None
         self.variables = None

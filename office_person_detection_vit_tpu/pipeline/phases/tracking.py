@@ -1,0 +1,181 @@
+"""Phase 2.5 — multi-object tracking
+(reference src/pipeline/phases/tracking.py:46-483).
+
+Sequential stateful host loop over frames: cost matrices and Kalman math run
+as jitted kernels (ops/kalman.py, tracking/similarity.py), while association
+order stays on host (SURVEY.md §7.4 item 3). Supports detector sharing with
+Phase 2 (``set_detector``), optional Re-ID features, MOT/JSON/CSV export,
+and dense-interval → output-interval aggregation with track-id dedup
+(reference :388-483).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ...core.dto import FrameResult
+from ...tracking.reid_feature_extractor import ReIDFeatureExtractor
+from ...tracking.tracker import Tracker
+from ...utils.export_utils import TrajectoryExporter
+from ...utils.image_utils import save_tracked_detection_image
+from .base import BasePhase
+
+
+class TrackingPhase(BasePhase):
+    name = "03_tracking"
+
+    def __init__(self, config: Any, logger=None):
+        super().__init__(config, logger)
+        self.tracker: Tracker | None = None
+        self.reid: ReIDFeatureExtractor | None = None
+        self.detector = None
+        self.save_images = bool(config.get("output.save_tracking_images", False))
+        self.statistics: dict[str, Any] = {}
+
+    def set_detector(self, detector) -> None:
+        """Share Phase 2's loaded detector for feature extraction
+        (reference :46-54)."""
+        self.detector = detector
+
+    def initialize(self) -> None:
+        """(reference :56-144)"""
+        if self.tracker is None:
+            self.tracker = Tracker.from_config(self.config)
+        if self.config.get("tracking.reid.enabled", False) and self.reid is None:
+            self.reid = ReIDFeatureExtractor.from_config(self.config)
+            self.reid.detector = self.detector
+            self.reid.load_model()
+
+    # ---------------------------------------------------------------- run
+    def execute(
+        self,
+        frame_results: list[FrameResult],
+        frames: list[np.ndarray] | None = None,
+        output_dir: str | Path | None = None,
+    ) -> list[FrameResult]:
+        """Track identities across the sampled frames (in timestamp order).
+
+        Detections gain ``track_id``; returns the same FrameResult list.
+        """
+        self.log_banner()
+        self.initialize()
+        id_set: set[int] = set()
+        for i, fr in enumerate(frame_results):
+            frame = frames[i] if frames is not None else None
+            dets = fr.detections
+            if (
+                self.reid is not None
+                and frame is not None
+                and dets
+            ):
+                feats = self.reid.extract_features(frame, [d.bbox for d in dets])
+                for d, f in zip(dets, feats):
+                    d.feature = f
+            timestamp = float(i)
+            self.tracker.update(dets, timestamp)
+            id_set.update(d.track_id for d in dets if d.track_id is not None)
+            if self.save_images and frame is not None and output_dir is not None:
+                ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
+                stem = ts if ts else f"{fr.frame_number:06d}"
+                save_tracked_detection_image(
+                    frame, dets, Path(output_dir) / f"tracked_{stem}.jpg"
+                )
+
+        self.statistics = self._compute_statistics(frame_results, id_set)
+        if output_dir is not None:
+            self.export_results(frame_results, Path(output_dir))
+        self.logger.info(
+            "tracked %d frames: %d unique ids", len(frame_results), len(id_set)
+        )
+        return frame_results
+
+    def _compute_statistics(
+        self, frame_results: list[FrameResult], id_set: set[int]
+    ) -> dict[str, Any]:
+        lengths = defaultdict(int)
+        for fr in frame_results:
+            for d in fr.detections:
+                if d.track_id is not None:
+                    lengths[d.track_id] += 1
+        return {
+            "total_frames": len(frame_results),
+            "unique_tracks": len(id_set),
+            "avg_track_length": float(np.mean(list(lengths.values()))) if lengths else 0.0,
+            "max_track_length": int(max(lengths.values())) if lengths else 0,
+        }
+
+    # ------------------------------------------------------------- exports
+    def export_results(
+        self, frame_results: list[FrameResult], output_dir: Path
+    ) -> dict[str, Path]:
+        """tracks.json / tracks.csv / tracks_mot.csv + statistics
+        (reference :237-378)."""
+        output_dir.mkdir(parents=True, exist_ok=True)
+        exporter = TrajectoryExporter(output_dir)
+        paths = {
+            "csv": exporter.export_csv(frame_results),
+            "mot": exporter.export_mot_csv(frame_results),
+            "json": exporter.export_json(frame_results),
+        }
+        stats_path = output_dir / "tracking_statistics.json"
+        stats_path.write_text(json.dumps(self.statistics, indent=2), encoding="utf-8")
+        paths["statistics"] = stats_path
+        return paths
+
+    # ------------------------------------------- dense-interval aggregation
+    def aggregate_to_output_intervals(
+        self,
+        frame_results: list[FrameResult],
+        output_interval_minutes: float | None = None,
+    ) -> list[FrameResult]:
+        """Dense tracking (e.g. 10 s) -> sparse output windows (e.g. 5 min)
+        with per-window track-id dedup (reference :388-483): each window keeps
+        one representative detection per track id (the highest-confidence
+        one), so a person seen in 30 dense frames counts once per window.
+        """
+        from datetime import datetime
+
+        if output_interval_minutes is None:
+            output_interval_minutes = float(
+                self.config.get("video.dense_tracking.output_interval_minutes", 5)
+            )
+        window_s = output_interval_minutes * 60.0
+        windows: dict[int, dict[int, Any]] = defaultdict(dict)  # win -> id -> det
+        window_meta: dict[int, FrameResult] = {}
+        for fr in frame_results:
+            ts = fr.timestamp
+            if isinstance(ts, str):
+                ts = datetime.fromisoformat(ts)
+            if ts is None:
+                continue
+            win = int(ts.timestamp() // window_s)
+            if win not in window_meta:
+                window_meta[win] = fr
+            for d in fr.detections:
+                if d.track_id is None:
+                    continue
+                cur = windows[win].get(d.track_id)
+                if cur is None or d.confidence > cur.confidence:
+                    windows[win][d.track_id] = d
+        out = []
+        for win in sorted(windows):
+            rep = window_meta[win]
+            out.append(
+                FrameResult(
+                    frame_number=rep.frame_number,
+                    timestamp=rep.timestamp,
+                    detections=list(windows[win].values()),
+                    frame_path=rep.frame_path,
+                )
+            )
+        return out
+
+    def cleanup(self) -> None:
+        if self.reid is not None:
+            self.reid.cleanup()
+        self.reid = None

@@ -1,0 +1,46 @@
+"""Session/output service (reference src/services/output_service.py:24-56).
+
+Thin facade over :class:`OutputManager` giving the orchestrator one object to
+set up the session, resolve phase directories, and persist metadata/summary.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from ..utils.output_manager import OutputManager
+
+
+class OutputService:
+    def __init__(self, base_dir: str | Path = "output"):
+        self.manager = OutputManager(base_dir)
+
+    def setup(
+        self, config: dict[str, Any], session_id: str | None = None
+    ) -> Path:
+        """Create the session and write metadata.json; returns session dir."""
+        session_dir = self.manager.create_session(session_id)
+        self.manager.save_metadata(config)
+        return session_dir
+
+    def attach(self, session_dir: str | Path) -> Path:
+        """Attach to an existing session (resume path) without recreating it."""
+        session_dir = Path(session_dir)
+        self.manager.session_dir = session_dir
+        self.manager.session_id = session_dir.name
+        return session_dir
+
+    @property
+    def session_dir(self) -> Path | None:
+        return self.manager.session_dir
+
+    @property
+    def session_id(self) -> str | None:
+        return self.manager.session_id
+
+    def get_phase_dir(self, phase: str) -> Path:
+        return self.manager.get_phase_dir(phase)
+
+    def save_summary(self, summary: dict[str, Any]) -> Path:
+        return self.manager.save_summary(summary)

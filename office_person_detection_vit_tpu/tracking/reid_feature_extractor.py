@@ -36,6 +36,18 @@ class ReIDFeatureExtractor:
         self.backend = "histogram"
         self.feature_dim = 256
 
+    @classmethod
+    def from_config(cls, cfg, detector=None) -> "ReIDFeatureExtractor":
+        return cls(
+            model_type=str(cfg.get("tracking.reid.model_type", "detr")),
+            model_name=cfg.get("tracking.reid.model_name", None),
+            model_path=cfg.get("tracking.reid.model_path", None),
+            detector=detector,
+        )
+
+    def cleanup(self) -> None:
+        self.detector = None
+
     def load_model(self) -> None:
         """Resolve the best available backend (fallback chain)."""
         if self.model_type == "detr" and self.detector is not None:

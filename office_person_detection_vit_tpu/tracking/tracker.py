@@ -96,6 +96,7 @@ class Tracker:
 
         for track, det in matches:
             track.update(det, timestamp)
+            det.track_id = track.track_id
         for track in um_tracks + um_tent:
             track.mark_missed(self.max_age)
         for det in um_high:
@@ -117,6 +118,7 @@ class Tracker:
         self.tracks.append(
             Track(self._next_id, det, timestamp or 0.0, min_hits=self.min_hits)
         )
+        det.track_id = self._next_id
         self._next_id += 1
 
     def _position_gate(self, tracks: list[Track], dets: list[Detection]) -> np.ndarray:

@@ -1,0 +1,81 @@
+"""main.py CLI: exit codes + full run through the real entry point."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from main import main  # noqa: E402
+
+from tests.helpers.synthetic_video import write_video  # noqa: E402
+from tests.test_pipeline_e2e import ZONES, H_IDENТITY_ISH  # noqa: E402
+
+
+def _write_config(tmp_path, video_path) -> Path:
+    cfg = {
+        "video": {
+            "input_path": str(video_path),
+            "fps": 30,
+            "frame_interval_minutes": 5,
+            "tolerance_seconds": 60,
+            "time_compression_ratio": 313.0,
+        },
+        "detection": {
+            "confidence_threshold": 0.0,
+            "batch_size": 2,
+            "device": "cpu",
+            "model_size": "tiny",
+            "input_height": 96,
+            "input_width": 128,
+            "dtype": "float32",
+            "use_pallas_attention": False,
+        },
+        "transform": {"method": "homography"},
+        "homography": {"matrix": H_IDENТITY_ISH},
+        "zones": ZONES,
+        "output": {"directory": str(tmp_path / "output"),
+                   "save_floormap_images": False},
+        "timestamp": {
+            "extraction_mode": "auto_targets",
+            "auto_targets": {"max_frames": 40, "disable_validation": True},
+            "sampling": {"coarse_interval_seconds": 0.5},
+            "extraction": {"confidence_threshold": 0.3},
+        },
+    }
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def test_missing_config_returns_1(tmp_path):
+    assert main(["--config", str(tmp_path / "missing.yaml")]) == 1
+
+
+def test_timestamps_only_run(tmp_path):
+    video = write_video(tmp_path / "v.mp4", num_frames=40)
+    cfg = _write_config(tmp_path, video)
+    rc = main(["--config", str(cfg), "--timestamps-only"])
+    assert rc == 0
+    sessions = [
+        p for p in (tmp_path / "output").iterdir()
+        if p.is_dir() and not p.is_symlink()
+    ]
+    assert len(sessions) == 1
+    assert (sessions[0] / "01_extraction" / "extraction_results.csv").exists()
+    summary = json.loads((sessions[0] / "summary.json").read_text())
+    assert summary["status"] == "completed"
+
+
+def test_default_repo_config_is_valid():
+    """The shipped config.yaml must parse and validate."""
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+
+    repo_cfg = Path(__file__).resolve().parents[1] / "config.yaml"
+    cm = ConfigManager(repo_cfg)
+    assert cm.validate()
+    assert cm.get("detection.model") == "detr"
+    assert cm.get("detection.input_height") % 32 == 0
+    assert cm.get("detection.input_width") % 32 == 0

@@ -1,0 +1,218 @@
+"""End-to-end pipeline: synthetic video -> 5 phases -> artifacts.
+
+Mirrors the reference's integration strategy (SURVEY.md §4) but with a real
+backend (tiny random-init DETR on CPU) instead of mocks, plus checkpoint
+resume — which the reference designed but never wired.
+"""
+
+import json
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+from office_person_detection_vit_tpu.core.dto import Detection, FrameResult
+from office_person_detection_vit_tpu.pipeline.orchestrator import PipelineOrchestrator
+from office_person_detection_vit_tpu.pipeline.phases.aggregation import AggregationPhase
+from office_person_detection_vit_tpu.pipeline.phases.tracking import TrackingPhase
+from office_person_detection_vit_tpu.pipeline.phases.transform import TransformPhase
+from tests.helpers.synthetic_video import write_video
+
+H_IDENТITY_ISH = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+ZONES = [
+    {"id": "zone_a", "name": "A", "polygon": [[0, 0], [640, 0], [640, 720], [0, 720]]},
+    {"id": "zone_b", "name": "B", "polygon": [[640, 0], [1280, 0], [1280, 720], [640, 720]]},
+]
+
+
+def _config(tmp_path, video_path, **overrides):
+    cfg = {
+        "video": {
+            "input_path": str(video_path),
+            "fps": 30,
+            "frame_interval_minutes": 5,
+            "tolerance_seconds": 60,
+            "time_compression_ratio": 313.0,
+        },
+        "detection": {
+            "confidence_threshold": 0.0,
+            "batch_size": 2,
+            "device": "cpu",
+            "model_size": "tiny",
+            "input_height": 96,
+            "input_width": 128,
+            "dtype": "float32",
+            "use_pallas_attention": False,
+        },
+        "transform": {"method": "homography"},
+        "homography": {"matrix": H_IDENТITY_ISH},
+        "zones": ZONES,
+        "output": {
+            "directory": str(tmp_path / "output"),
+            "save_floormap_images": True,
+        },
+        "timestamp": {
+            "extraction_mode": "auto_targets",
+            "auto_targets": {"max_frames": 60, "disable_validation": True},
+            "sampling": {"coarse_interval_seconds": 0.5},
+            "extraction": {"confidence_threshold": 0.3},
+        },
+    }
+    for dot, v in overrides.items():
+        node = cfg
+        parts = dot.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return ConfigManager.from_dict(cfg)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    path = tmp_path_factory.mktemp("video") / "synthetic.mp4"
+    # 60 frames @30fps, ratio 313 -> ~10.4 wall-clock minutes -> 2 targets.
+    write_video(path, num_frames=60)
+    return path
+
+
+class TestFullPipeline:
+    @pytest.fixture(scope="class")
+    def run_result(self, video, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("e2e")
+        cfg = _config(tmp, video)
+        orch = PipelineOrchestrator(cfg)
+        result = orch.run()
+        return tmp, cfg, orch, result
+
+    def test_artifacts_exist(self, run_result):
+        tmp, cfg, orch, result = run_result
+        session = orch.output.session_dir
+        assert (session / "metadata.json").exists()
+        assert (session / "summary.json").exists()
+        assert (session / "pipeline_checkpoint.json").exists()
+        assert (session / "01_extraction" / "extraction_results.csv").exists()
+        assert (session / "02_detection" / "detection_statistics.json").exists()
+        assert (session / "04_transform" / "coordinate_transformations.json").exists()
+        assert (session / "05_aggregation" / "zone_counts.csv").exists()
+        assert (session / "06_visualization" / "zone_time_series.png").exists()
+
+    def test_frames_extracted(self, run_result):
+        _, _, orch, _ = run_result
+        assert len(orch.frame_results) >= 1
+        for fr in orch.frame_results:
+            assert isinstance(fr.timestamp, datetime)
+
+    def test_summary_schema(self, run_result):
+        _, _, orch, _ = run_result
+        summary = json.loads((orch.output.session_dir / "summary.json").read_text())
+        assert summary["status"] == "completed"
+        assert summary["statistics"]["frames_extracted"] == len(orch.frame_results)
+        assert "01_extraction" in summary["performance"]
+
+    def test_transform_json_contract(self, run_result):
+        _, _, orch, _ = run_result
+        doc = json.loads(
+            (orch.output.session_dir / "04_transform" / "coordinate_transformations.json").read_text()
+        )
+        assert doc["transform_method"] == "homography"
+        assert len(doc["frames"]) == len(orch.frame_results)
+        for fdoc in doc["frames"]:
+            for d in fdoc["detections"]:
+                assert {"bbox", "confidence", "camera_coords"} <= set(d)
+
+    def test_zone_counts_csv(self, run_result):
+        _, _, orch, _ = run_result
+        text = (orch.output.session_dir / "05_aggregation" / "zone_counts.csv").read_text()
+        header = text.splitlines()[0]
+        assert "zone_a" in header and "zone_b" in header
+
+    def test_resume_skips_completed(self, run_result, video):
+        tmp, cfg, orch, _ = run_result
+        session = orch.output.session_dir
+        orch2 = PipelineOrchestrator(cfg)
+        result2 = orch2.run(resume_session=session)
+        # Resume must reload phase-1 artifacts rather than re-OCR.
+        assert len(orch2.frame_results) == len(orch.frame_results)
+        assert result2["session_dir"] == str(session)
+        # Performance log should NOT contain extraction (it was skipped).
+        assert "01_extraction" not in orch2.perf.summary()
+
+
+class TestTimestampsOnly:
+    def test_phase1_only(self, video, tmp_path):
+        cfg = _config(tmp_path, video)
+        orch = PipelineOrchestrator(cfg)
+        result = orch.run(timestamps_only=True)
+        assert result["frames"] >= 1
+        session = orch.output.session_dir
+        assert (session / "01_extraction" / "extraction_results.csv").exists()
+        assert not any((session / "02_detection").iterdir())
+
+
+class TestPhaseUnits:
+    """Phase-level tests with hand-made detections (no detector)."""
+
+    def _frame_results(self):
+        return [
+            FrameResult(
+                0, datetime(2025, 1, 20, 9, 0, 0),
+                [Detection(bbox=(100, 200, 50, 130), confidence=0.9),
+                 Detection(bbox=(900, 300, 60, 140), confidence=0.8)],
+            ),
+            FrameResult(
+                1, datetime(2025, 1, 20, 9, 5, 0),
+                [Detection(bbox=(110, 205, 50, 130), confidence=0.85)],
+            ),
+        ]
+
+    def test_transform_phase_fills_coords(self, tmp_path, video):
+        cfg = _config(tmp_path, video)
+        frs = self._frame_results()
+        TransformPhase(cfg).execute(frs, tmp_path / "t")
+        det = frs[0].detections[0]
+        assert det.floor_coords_px is not None
+        # Identity homography: floor px == foot point.
+        assert det.floor_coords_px[0] == pytest.approx(125.0, abs=1e-3)
+        assert det.floor_coords_px[1] == pytest.approx(330.0, abs=1e-3)
+        assert det.zone_ids == ["zone_a"]
+        assert frs[0].detections[1].zone_ids == ["zone_b"]
+
+    def test_aggregation_phase(self, tmp_path, video):
+        cfg = _config(tmp_path, video)
+        frs = self._frame_results()
+        TransformPhase(cfg).execute(frs)
+        results = AggregationPhase(cfg).execute(frs, tmp_path / "a")
+        assert results[0].zone_counts["zone_a"] == 1
+        assert results[0].zone_counts["zone_b"] == 1
+        assert results[1].zone_counts["zone_a"] == 1
+        assert (tmp_path / "a" / "zone_counts.csv").exists()
+
+    def test_tracking_phase_assigns_ids(self, tmp_path, video):
+        cfg = _config(tmp_path, video, **{"tracking.enabled": True})
+        frs = self._frame_results()
+        TrackingPhase(cfg).execute(frs, output_dir=tmp_path / "trk")
+        ids0 = {d.track_id for d in frs[0].detections}
+        assert None not in ids0
+        # The nearby detection in frame 1 keeps its identity.
+        assert frs[1].detections[0].track_id in ids0
+        assert (tmp_path / "trk" / "tracks_mot.csv").exists()
+        assert (tmp_path / "trk" / "tracking_statistics.json").exists()
+
+    def test_dense_aggregation_dedup(self, tmp_path, video):
+        cfg = _config(tmp_path, video, **{"tracking.enabled": True})
+        phase = TrackingPhase(cfg)
+        # Same track id seen densely within one 5-min window.
+        frs = [
+            FrameResult(
+                i, datetime(2025, 1, 20, 9, 0, 10 * i),
+                [Detection(bbox=(100 + i, 200, 50, 130), confidence=0.5 + 0.01 * i,
+                           track_id=7)],
+            )
+            for i in range(5)
+        ]
+        out = phase.aggregate_to_output_intervals(frs, output_interval_minutes=5)
+        assert len(out) == 1
+        assert len(out[0].detections) == 1
+        assert out[0].detections[0].confidence == pytest.approx(0.54)
