@@ -1,0 +1,70 @@
+"""North-star benchmark: DETR detection frames/sec/chip.
+
+Baseline (BASELINE.md): reference Phase-2 detection on Apple-Silicon MPS ran
+4 frames in 2.92 s => 1.37 frames/s (1.31 s/batch avg, docs/plan.md).
+``vs_baseline`` = our frames/s divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 4 / 2.92  # reference MPS detection throughput
+
+
+def main() -> None:
+    import jax
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+
+    batch = 8
+    cfg = ConfigManager.from_dict(
+        {
+            "detection": {
+                "confidence_threshold": 0.5,
+                "batch_size": batch,
+                "input_height": 768,
+                "input_width": 1344,
+                "dtype": "bfloat16",
+                "use_pallas_attention": jax.default_backend() == "tpu",
+            }
+        }
+    )
+    detector = DETRDetector(cfg)
+    detector.load_model()
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, 720, 1280, 3), np.uint8)
+
+    # Warmup (compile) + 1 steady-state check.
+    detector.detect_batch(frames)
+    detector.detect_batch(frames)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detector.detect_batch(frames)
+    jax.block_until_ready(out.scores)
+    elapsed = time.perf_counter() - t0
+    fps = batch * iters / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "detr_detection_throughput",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""MOT metrics — MOTA / IDF1 / IDP / IDR / IDSW, implemented natively
+(reference src/benchmark/mot_metrics.py:31-177 uses the ``motmetrics``
+library, which is not available here; the event accumulation and ID-metric
+definitions below follow Bernardin & Stiefelhagen 2008 (CLEAR MOT) and
+Ristani et al. 2016 (identity metrics), matching motmetrics semantics:
+per-frame greedy continuation + Hungarian on an IoU-distance matrix with
+0.5 cutoff, and a global trajectory-level LAP for IDF1).
+
+IoU matrices run through the jitted ops/boxes kernel.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+from collections import defaultdict
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..ops.assignment import solve_lap
+from ..ops.boxes import iou_matrix_xywh
+
+logger = logging.getLogger(__name__)
+
+IOU_CUTOFF = 0.5
+
+
+#: frame -> list of (track_id, xywh bbox)
+FrameAnnotations = dict[int, list[tuple[int, tuple[float, float, float, float]]]]
+
+
+@dataclass
+class MOTResult:
+    mota: float
+    idf1: float
+    idp: float
+    idr: float
+    idsw: int
+    fp: int
+    fn: int
+    num_objects: int
+    num_frames: int
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "mota": self.mota,
+            "idf1": self.idf1,
+            "idp": self.idp,
+            "idr": self.idr,
+            "id_switches": self.idsw,
+            "false_positives": self.fp,
+            "false_negatives": self.fn,
+            "num_objects": self.num_objects,
+            "num_frames": self.num_frames,
+        }
+
+
+def _iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
+    """1 - IoU, with pairs under the cutoff set to inf (unmatchable)."""
+    iou = np.asarray(
+        iou_matrix_xywh(gt_boxes.astype(np.float32), hyp_boxes.astype(np.float32))
+    )
+    dist = 1.0 - iou
+    dist[iou < IOU_CUTOFF] = np.inf
+    return dist
+
+
+def evaluate_mot(gt: FrameAnnotations, hyp: FrameAnnotations) -> MOTResult:
+    """CLEAR-MOT + identity metrics over the union of frames."""
+    frames = sorted(set(gt) | set(hyp))
+    last_match: dict[int, int] = {}  # gt id -> last hyp id matched
+    fp = fn = idsw = num_objects = 0
+    # Identity bookkeeping: per (gt_id, hyp_id) count of frames where the
+    # pair is matchable; per-id total frame counts.
+    pair_overlap: dict[tuple[int, int], int] = defaultdict(int)
+    gt_frames: dict[int, int] = defaultdict(int)
+    hyp_frames: dict[int, int] = defaultdict(int)
+
+    for f in frames:
+        gt_list = gt.get(f, [])
+        hyp_list = hyp.get(f, [])
+        num_objects += len(gt_list)
+        for gid, _ in gt_list:
+            gt_frames[gid] += 1
+        for hid, _ in hyp_list:
+            hyp_frames[hid] += 1
+
+        if gt_list and hyp_list:
+            dist = _iou_distance(
+                np.asarray([b for _, b in gt_list]),
+                np.asarray([b for _, b in hyp_list]),
+            )
+            # Identity overlaps (any matchable pair counts).
+            finite = np.isfinite(dist)
+            for gi, (gid, _) in enumerate(gt_list):
+                for hi, (hid, _) in enumerate(hyp_list):
+                    if finite[gi, hi]:
+                        pair_overlap[(gid, hid)] += 1
+
+            # motmetrics-style continuation: keep last frame's (gt, hyp)
+            # correspondence when still matchable, then LAP on the rest.
+            matches: dict[int, int] = {}  # gt index -> hyp index
+            used_h: set[int] = set()
+            hyp_index = {hid: hi for hi, (hid, _) in enumerate(hyp_list)}
+            for gi, (gid, _) in enumerate(gt_list):
+                prev_h = last_match.get(gid)
+                if prev_h is not None and prev_h in hyp_index:
+                    hi = hyp_index[prev_h]
+                    if np.isfinite(dist[gi, hi]) and hi not in used_h:
+                        matches[gi] = hi
+                        used_h.add(hi)
+            free_g = [gi for gi in range(len(gt_list)) if gi not in matches]
+            free_h = [hi for hi in range(len(hyp_list)) if hi not in used_h]
+            if free_g and free_h:
+                sub = dist[np.ix_(free_g, free_h)]
+                for r, c in solve_lap(sub):
+                    if np.isfinite(sub[r, c]):
+                        matches[free_g[r]] = free_h[c]
+
+            for gi, hi in matches.items():
+                gid = gt_list[gi][0]
+                hid = hyp_list[hi][0]
+                prev = last_match.get(gid)
+                if prev is not None and prev != hid:
+                    idsw += 1
+                last_match[gid] = hid
+            fn += len(gt_list) - len(matches)
+            fp += len(hyp_list) - len(matches)
+        else:
+            fn += len(gt_list)
+            fp += len(hyp_list)
+
+    # ------------------------------------------------------- identity (ID*)
+    gids = sorted(gt_frames)
+    hids = sorted(hyp_frames)
+    total_gt = sum(gt_frames.values())
+    total_hyp = sum(hyp_frames.values())
+    idtp = 0
+    if gids and hids:
+        # Cost = unmatched frames for the pair; LAP over the padded square.
+        cost = np.zeros((len(gids), len(hids)))
+        for i, gid in enumerate(gids):
+            for j, hid in enumerate(hids):
+                ov = pair_overlap.get((gid, hid), 0)
+                cost[i, j] = (gt_frames[gid] - ov) + (hyp_frames[hid] - ov)
+        for r, c in solve_lap(cost):
+            idtp += pair_overlap.get((gids[r], hids[c]), 0)
+    idp = idtp / total_hyp if total_hyp else 0.0
+    idr = idtp / total_gt if total_gt else 0.0
+    idf1 = 2 * idtp / (total_gt + total_hyp) if (total_gt + total_hyp) else 0.0
+
+    mota = 1.0 - (fn + fp + idsw) / num_objects if num_objects else 0.0
+    return MOTResult(
+        mota=mota,
+        idf1=idf1,
+        idp=idp,
+        idr=idr,
+        idsw=idsw,
+        fp=fp,
+        fn=fn,
+        num_objects=num_objects,
+        num_frames=len(frames),
+    )
+
+
+# ---------------------------------------------------------------- loaders
+def load_mot_csv(path: str | Path) -> FrameAnnotations:
+    """MOTChallenge CSV: frame,id,x,y,w,h,conf,... (reference
+    mot_metrics.py:136-148; also accepts center-point rows by synthesizing
+    a nominal box)."""
+    out: FrameAnnotations = defaultdict(list)
+    with Path(path).open() as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith(("frame", "#")):
+                continue
+            frame, tid = int(float(row[0])), int(float(row[1]))
+            vals = [float(v) for v in row[2:6]]
+            if vals[2] <= 0 or vals[3] <= 0:  # center-point rows
+                cx, cy = vals[0], vals[1]
+                vals = [cx - 25.0, cy - 65.0, 50.0, 130.0]
+            out[frame].append((tid, (vals[0], vals[1], vals[2], vals[3])))
+    return dict(out)
+
+
+def load_gold_gt(path: str | Path) -> FrameAnnotations:
+    """Gold-GT tracking JSON (reference tracking_benchmark.py:300-347):
+    {frames: [{frame_number|frame, annotations|tracks: [{track_id, bbox}]}]}."""
+    import json
+
+    doc = json.loads(Path(path).read_text())
+    out: FrameAnnotations = defaultdict(list)
+    frames = doc.get("frames", doc if isinstance(doc, list) else [])
+    for fdoc in frames:
+        frame = int(fdoc.get("frame_number", fdoc.get("frame", 0)))
+        for ann in fdoc.get("annotations", fdoc.get("tracks", [])):
+            bbox = ann["bbox"]
+            if isinstance(bbox, dict):
+                bb = (bbox["x"], bbox["y"], bbox["width"], bbox["height"])
+            else:
+                bb = tuple(float(v) for v in bbox)
+            out[frame].append((int(ann["track_id"]), bb))
+    return dict(out)

@@ -1,0 +1,115 @@
+"""Tracking benchmark (reference src/benchmark/tracking_benchmark.py:244-472).
+
+Wraps the native MOT metrics with the reference's file contracts: Gold-GT
+JSON or MOT CSV ground truth vs the pipeline's ``tracks_mot.csv``; sparse
+(5-minute interval) mode maps both sides onto a common frame index before
+scoring; id-switch / lost-track diagnostics; json + markdown reports.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any
+
+from .mot_metrics import (
+    FrameAnnotations,
+    MOTResult,
+    evaluate_mot,
+    load_gold_gt,
+    load_mot_csv,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _renumber_sparse(ann: FrameAnnotations) -> FrameAnnotations:
+    """Collapse arbitrary frame numbers onto consecutive indices (sparse
+    5-minute sampling mode, reference :244-269)."""
+    mapping = {f: i + 1 for i, f in enumerate(sorted(ann))}
+    return {mapping[f]: v for f, v in ann.items()}
+
+
+class TrackingBenchmark:
+    def __init__(self, sparse: bool = False):
+        self.sparse = sparse
+
+    def evaluate(
+        self, gt: FrameAnnotations, hyp: FrameAnnotations
+    ) -> MOTResult:
+        if self.sparse:
+            gt, hyp = _renumber_sparse(gt), _renumber_sparse(hyp)
+        return evaluate_mot(gt, hyp)
+
+    def evaluate_from_files(
+        self,
+        gt_path: str | Path,
+        pred_path: str | Path,
+        gt_format: str = "gold",
+    ) -> MOTResult:
+        """(reference :271-298)"""
+        gt = (
+            load_gold_gt(gt_path)
+            if gt_format == "gold"
+            else load_mot_csv(gt_path)
+        )
+        hyp = load_mot_csv(pred_path)
+        return self.evaluate(gt, hyp)
+
+    # ---------------------------------------------------------- diagnostics
+    @staticmethod
+    def diagnostics(gt: FrameAnnotations, hyp: FrameAnnotations) -> dict[str, Any]:
+        """Per-track presence summary for id-switch / lost-track analysis
+        (reference :349-472)."""
+        gt_spans: dict[int, list[int]] = {}
+        hyp_spans: dict[int, list[int]] = {}
+        for frame, anns in gt.items():
+            for tid, _ in anns:
+                gt_spans.setdefault(tid, []).append(frame)
+        for frame, anns in hyp.items():
+            for tid, _ in anns:
+                hyp_spans.setdefault(tid, []).append(frame)
+
+        def span(frames: list[int]) -> dict[str, int]:
+            return {
+                "first": min(frames),
+                "last": max(frames),
+                "observed": len(frames),
+                "gaps": (max(frames) - min(frames) + 1) - len(frames),
+            }
+
+        return {
+            "gt_tracks": {t: span(f) for t, f in sorted(gt_spans.items())},
+            "hyp_tracks": {t: span(f) for t, f in sorted(hyp_spans.items())},
+        }
+
+    # -------------------------------------------------------------- reports
+    @staticmethod
+    def export(
+        result: MOTResult,
+        output_dir: str | Path,
+        diagnostics: dict[str, Any] | None = None,
+    ) -> dict[str, Path]:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        paths: dict[str, Path] = {}
+        paths["json"] = out / "tracking_metrics.json"
+        paths["json"].write_text(json.dumps(result.to_dict(), indent=2))
+        md = [
+            "# Tracking Benchmark",
+            "",
+            f"- frames: {result.num_frames}, GT objects: {result.num_objects}",
+            f"- MOTA: {result.mota:.4f}",
+            f"- IDF1: {result.idf1:.4f}",
+            f"- IDP: {result.idp:.4f}",
+            f"- IDR: {result.idr:.4f}",
+            f"- ID switches: {result.idsw}",
+            f"- FP: {result.fp}, FN: {result.fn}",
+        ]
+        paths["report"] = out / "tracking_report.md"
+        paths["report"].write_text("\n".join(md) + "\n")
+        if diagnostics is not None:
+            paths["diagnostics"] = out / "tracking_diagnostics.json"
+            paths["diagnostics"].write_text(json.dumps(diagnostics, indent=2))
+        return paths

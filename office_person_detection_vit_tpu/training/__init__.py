@@ -1,0 +1,24 @@
+"""Training stack: jittable Hungarian matcher, DETR set criterion,
+single-chip and mesh-sharded train steps."""
+
+from .criterion import CriterionConfig, detr_loss, pack_targets
+from .matcher import auction_assignment, batch_hungarian_match, hungarian_match
+from .train_step import (
+    TrainState,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+__all__ = [
+    "CriterionConfig",
+    "TrainState",
+    "auction_assignment",
+    "batch_hungarian_match",
+    "detr_loss",
+    "hungarian_match",
+    "make_optimizer",
+    "make_sharded_train_step",
+    "make_train_step",
+    "pack_targets",
+]

@@ -1,0 +1,252 @@
+"""Benchmark harness: detection AP, native MOT metrics, CLI runners."""
+
+import json
+
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.benchmark import main as tracking_main
+from office_person_detection_vit_tpu.benchmark.detection_benchmark import (
+    DetectionBenchmark,
+    DetectionRecord,
+    average_precision,
+    threshold_sweep,
+)
+from office_person_detection_vit_tpu.benchmark.detection_runner import (
+    main as detection_main,
+)
+from office_person_detection_vit_tpu.benchmark.mot_metrics import (
+    evaluate_mot,
+    load_gold_gt,
+    load_mot_csv,
+)
+from office_person_detection_vit_tpu.benchmark.tracking_benchmark import (
+    TrackingBenchmark,
+)
+
+
+# ---------------------------------------------------------------- detection
+class TestAveragePrecision:
+    def test_perfect(self):
+        flags = np.asarray([True, True, True])
+        scores = np.asarray([0.9, 0.8, 0.7])
+        assert average_precision(flags, scores, 3) == pytest.approx(1.0)
+
+    def test_all_wrong(self):
+        flags = np.asarray([False, False])
+        scores = np.asarray([0.9, 0.8])
+        assert average_precision(flags, scores, 2) == 0.0
+
+    def test_half(self):
+        # TP at rank 1, FP at rank 2, one GT missed (2 GT total).
+        flags = np.asarray([True, False])
+        scores = np.asarray([0.9, 0.8])
+        ap = average_precision(flags, scores, 2)
+        assert ap == pytest.approx(0.5)
+
+
+class TestDetectionBenchmark:
+    def _gt(self):
+        return {
+            "img1.jpg": np.asarray([[10, 10, 50, 100], [200, 50, 40, 90]], np.float32),
+            "img2.jpg": np.asarray([[300, 100, 60, 120]], np.float32),
+        }
+
+    def _perfect_preds(self):
+        return [
+            DetectionRecord("img1.jpg", (10, 10, 50, 100), 0.95),
+            DetectionRecord("img1.jpg", (200, 50, 40, 90), 0.9),
+            DetectionRecord("img2.jpg", (300, 100, 60, 120), 0.85),
+        ]
+
+    def test_perfect_predictions(self):
+        result = DetectionBenchmark().evaluate(self._perfect_preds(), self._gt())
+        assert result.precision == pytest.approx(1.0)
+        assert result.recall == pytest.approx(1.0)
+        assert result.ap50 == pytest.approx(1.0)
+        assert result.map_5095 == pytest.approx(1.0)
+
+    def test_false_positive_lowers_precision(self):
+        preds = self._perfect_preds() + [
+            DetectionRecord("img2.jpg", (600, 600, 50, 100), 0.5)
+        ]
+        result = DetectionBenchmark().evaluate(preds, self._gt())
+        assert result.precision == pytest.approx(3 / 4)
+        assert result.recall == pytest.approx(1.0)
+        assert result.fp == 1
+
+    def test_jittered_boxes_pass_50_fail_75(self):
+        # ~0.62 IoU vs GT: TP at IoU 0.5 but not at 0.75.
+        preds = [DetectionRecord("img2.jpg", (310, 110, 60, 120), 0.9)]
+        gt = {"img2.jpg": self._gt()["img2.jpg"]}
+        result = DetectionBenchmark().evaluate(preds, gt)
+        assert result.ap50 == pytest.approx(1.0)
+        assert result.ap75 == pytest.approx(0.0)
+
+    def test_threshold_sweep_best(self):
+        preds = self._perfect_preds() + [
+            DetectionRecord("img1.jpg", (600, 600, 30, 60), 0.3)
+        ]
+        sweep = threshold_sweep(preds, self._gt(), thresholds=np.asarray([0.1, 0.5]))
+        assert sweep["best_threshold"] == 0.5
+        assert sweep["best_f1"] == pytest.approx(1.0)
+
+    def test_export(self, tmp_path):
+        result = DetectionBenchmark().evaluate(self._perfect_preds(), self._gt())
+        paths = DetectionBenchmark().export(result, tmp_path)
+        assert paths["json"].exists()
+        metrics = json.loads(paths["json"].read_text())
+        assert metrics["ap_50"] == pytest.approx(1.0)
+        assert "# Detection Benchmark" in paths["report"].read_text()
+
+
+# --------------------------------------------------------------------- MOT
+def _box(x, y=100):
+    return (x, y, 50.0, 130.0)
+
+
+class TestMOTMetrics:
+    def test_perfect_tracking(self):
+        gt = {f: [(1, _box(100 + 5 * f)), (2, _box(400))] for f in range(1, 6)}
+        hyp = {f: [(11, _box(100 + 5 * f)), (12, _box(400))] for f in range(1, 6)}
+        r = evaluate_mot(gt, hyp)
+        assert r.mota == pytest.approx(1.0)
+        assert r.idf1 == pytest.approx(1.0)
+        assert r.idsw == 0
+
+    def test_id_switch_detected(self):
+        gt = {f: [(1, _box(100))] for f in range(1, 7)}
+        hyp = {f: [(11 if f <= 3 else 22, _box(100))] for f in range(1, 7)}
+        r = evaluate_mot(gt, hyp)
+        assert r.idsw == 1
+        assert r.mota == pytest.approx(1.0 - 1 / 6)
+        # IDF1: best global match covers 3 of 6 frames each side.
+        assert r.idf1 == pytest.approx(0.5)
+
+    def test_misses_and_false_positives(self):
+        gt = {1: [(1, _box(100)), (2, _box(400))]}
+        hyp = {1: [(11, _box(100)), (12, _box(900))]}
+        r = evaluate_mot(gt, hyp)
+        assert r.fn == 1 and r.fp == 1
+        assert r.mota == pytest.approx(1.0 - 2 / 2)
+
+    def test_continuation_preferred_over_swap(self):
+        # Two crossing tracks with ambiguous middle frame: the accumulator
+        # should keep existing correspondences when still matchable.
+        gt = {
+            1: [(1, _box(100)), (2, _box(200))],
+            2: [(1, _box(150)), (2, _box(150, y=104))],
+            3: [(1, _box(200)), (2, _box(100))],
+        }
+        hyp = {
+            1: [(11, _box(100)), (22, _box(200))],
+            2: [(11, _box(150)), (22, _box(150, y=104))],
+            3: [(11, _box(200)), (22, _box(100))],
+        }
+        r = evaluate_mot(gt, hyp)
+        assert r.idsw == 0
+        assert r.mota == pytest.approx(1.0)
+
+
+class TestTrackingBenchmarkFiles:
+    def _write_files(self, tmp_path):
+        gt = {
+            "frames": [
+                {
+                    "frame_number": f,
+                    "annotations": [
+                        {"track_id": 1, "bbox": {"x": 100.0 + f, "y": 100.0, "width": 50.0, "height": 130.0}}
+                    ],
+                }
+                for f in (1, 2, 3)
+            ]
+        }
+        gt_path = tmp_path / "gt.json"
+        gt_path.write_text(json.dumps(gt))
+        pred_path = tmp_path / "tracks_mot.csv"
+        pred_path.write_text(
+            "\n".join(
+                f"{f},7,{100.0 + f},100.0,50.0,130.0,0.9,-1,-1,-1" for f in (1, 2, 3)
+            )
+        )
+        return gt_path, pred_path
+
+    def test_evaluate_from_files(self, tmp_path):
+        gt_path, pred_path = self._write_files(tmp_path)
+        r = TrackingBenchmark().evaluate_from_files(gt_path, pred_path)
+        assert r.mota == pytest.approx(1.0)
+        assert r.idf1 == pytest.approx(1.0)
+
+    def test_sparse_mode_renumbers(self, tmp_path):
+        gt_path, pred_path = self._write_files(tmp_path)
+        gt = load_gold_gt(gt_path)
+        gt = {f * 9000: v for f, v in gt.items()}  # 5-min frame numbers
+        gt_path.write_text(
+            json.dumps(
+                {
+                    "frames": [
+                        {
+                            "frame_number": f,
+                            "annotations": [
+                                {"track_id": t, "bbox": list(b)} for t, b in anns
+                            ],
+                        }
+                        for f, anns in gt.items()
+                    ]
+                }
+            )
+        )
+        r = TrackingBenchmark(sparse=True).evaluate_from_files(gt_path, pred_path)
+        assert r.mota == pytest.approx(1.0)
+
+    def test_cli_main(self, tmp_path, capsys):
+        gt_path, pred_path = self._write_files(tmp_path)
+        rc = tracking_main(
+            ["--gt", str(gt_path), "--pred", str(pred_path), "--json",
+             "--report", str(tmp_path / "rep")]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["mota"] == pytest.approx(1.0)
+        assert (tmp_path / "rep" / "tracking_metrics.json").exists()
+        assert (tmp_path / "rep" / "tracking_diagnostics.json").exists()
+
+
+class TestDetectionRunnerCLI:
+    def test_cli(self, tmp_path, capsys):
+        gt = {
+            "images": [{"id": 1, "file_name": "img1.jpg"}],
+            "annotations": [{"image_id": 1, "bbox": [10, 10, 50, 100]}],
+        }
+        (tmp_path / "gt.json").write_text(json.dumps(gt))
+        preds = [{"file_name": "img1.jpg", "bbox": [10, 10, 50, 100], "score": 0.9}]
+        (tmp_path / "pred.json").write_text(json.dumps(preds))
+        rc = detection_main(
+            ["--gt", str(tmp_path / "gt.json"), "--pred", str(tmp_path / "pred.json"),
+             "--json", "--report", str(tmp_path / "rep"), "--sweep"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["ap_50"] == pytest.approx(1.0)
+        assert (tmp_path / "rep" / "threshold_analysis.json").exists()
+
+    def test_load_pipeline_predictions(self, tmp_path):
+        doc = {
+            "transform_method": "homography",
+            "frames": [
+                {
+                    "frame_number": 0,
+                    "timestamp": "img1.jpg",
+                    "detections": [
+                        {"bbox": {"x": 1.0, "y": 2.0, "width": 3.0, "height": 4.0},
+                         "confidence": 0.7,
+                         "camera_coords": {"x": 2.5, "y": 6.0}},
+                    ],
+                }
+            ],
+        }
+        p = tmp_path / "ct.json"
+        p.write_text(json.dumps(doc))
+        records = DetectionBenchmark.load_predictions(p)
+        assert len(records) == 1
+        assert records[0].bbox == (1.0, 2.0, 3.0, 4.0)

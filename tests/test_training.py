@@ -1,0 +1,184 @@
+"""Training stack: auction matcher optimality, criterion, sharded train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from office_person_detection_vit_tpu.models.detr import DETRConfig, init_detr
+from office_person_detection_vit_tpu.parallel.mesh import make_mesh
+from office_person_detection_vit_tpu.parallel.sharding import param_specs, shard_params
+from office_person_detection_vit_tpu.training import (
+    CriterionConfig,
+    TrainState,
+    auction_assignment,
+    detr_loss,
+    hungarian_match,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+    pack_targets,
+)
+
+
+class TestAuctionMatcher:
+    @pytest.mark.parametrize("seed", range(5))
+    @pytest.mark.parametrize("shape", [(3, 5), (8, 8), (10, 30)])
+    def test_matches_scipy_optimum(self, seed, shape):
+        rng = np.random.default_rng(seed)
+        benefit = rng.normal(size=shape).astype(np.float32)
+        cols = np.asarray(auction_assignment(jnp.asarray(benefit), num_iters=500))
+        # Valid matching: distinct columns.
+        assert len(set(cols.tolist())) == shape[0]
+        got = benefit[np.arange(shape[0]), cols].sum()
+        r, c = linear_sum_assignment(-benefit)
+        opt = benefit[r, c].sum()
+        # Auction is eps-optimal; with eps=1e-3 and T<=10 the gap is tiny.
+        assert got >= opt - 0.05
+
+    def test_jittable(self):
+        benefit = jnp.asarray(np.random.default_rng(0).normal(size=(4, 6)), jnp.float32)
+        jitted = jax.jit(auction_assignment, static_argnames=("num_iters",))
+        cols = jitted(benefit, num_iters=100)
+        assert cols.shape == (4,)
+
+    def test_padded_targets_do_not_steal(self):
+        # 2 real targets + 2 padded; real ones must take their obvious queries.
+        Q = 6
+        logits = jnp.full((Q, 3), -5.0).at[0, 1].set(5.0).at[3, 2].set(5.0)
+        boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]), (Q, 1))
+        boxes = boxes.at[0].set(jnp.asarray([0.1, 0.1, 0.1, 0.1]))
+        boxes = boxes.at[3].set(jnp.asarray([0.9, 0.9, 0.1, 0.1]))
+        tgt_labels = jnp.asarray([1, 2, 0, 0])
+        tgt_boxes = jnp.asarray(
+            [[0.1, 0.1, 0.1, 0.1], [0.9, 0.9, 0.1, 0.1], [0, 0, 0, 0], [0, 0, 0, 0]],
+            jnp.float32,
+        )
+        tgt_valid = jnp.asarray([True, True, False, False])
+        match = hungarian_match(logits, boxes, tgt_labels, tgt_boxes, tgt_valid)
+        assert int(match[0]) == 0
+        assert int(match[1]) == 3
+
+
+class TestCriterion:
+    def _random_inputs(self, B=2, Q=8, T=3, C=4, seed=0):
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.normal(size=(B, Q, C + 1)), jnp.float32)
+        boxes = jax.nn.sigmoid(jnp.asarray(rng.normal(size=(B, Q, 4)), jnp.float32))
+        labels, tboxes, valid = pack_targets(
+            [rng.uniform(0.2, 0.6, (2, 4)), rng.uniform(0.2, 0.6, (1, 4))],
+            [[1, 2], [3]],
+            capacity=T,
+        )
+        return logits, boxes, labels, tboxes, valid, C
+
+    def test_loss_finite_and_components(self):
+        logits, boxes, labels, tboxes, valid, C = self._random_inputs()
+        total, metrics = detr_loss(
+            logits, boxes, labels, tboxes, valid, CriterionConfig(num_classes=C)
+        )
+        assert np.isfinite(float(total))
+        for k in ("loss_class", "loss_bbox", "loss_giou", "cardinality_error"):
+            assert np.isfinite(float(metrics[k]))
+
+    def test_perfect_prediction_low_loss(self):
+        C = 4
+        Q = 6
+        tboxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2]]], jnp.float32)
+        labels = jnp.asarray([[2]])
+        valid = jnp.asarray([[True]])
+        logits = jnp.full((1, Q, C + 1), 0.0).at[:, :, C].set(10.0)
+        logits = logits.at[0, 0, C].set(-10.0).at[0, 0, 2].set(10.0)
+        boxes = jnp.tile(jnp.asarray([[[0.3, 0.3, 0.2, 0.2]]]), (1, Q, 1))
+        total, metrics = detr_loss(
+            logits, boxes, labels, tboxes, valid, CriterionConfig(num_classes=C)
+        )
+        assert float(metrics["loss_bbox"]) < 1e-5
+        assert float(metrics["loss_giou"]) < 1e-5
+        assert float(metrics["loss_class"]) < 1e-3
+
+    def test_gradients_flow(self):
+        logits, boxes, labels, tboxes, valid, C = self._random_inputs()
+
+        def f(lg, bx):
+            return detr_loss(lg, bx, labels, tboxes, valid, CriterionConfig(num_classes=C))[0]
+
+        glog, gbox = jax.grad(f, argnums=(0, 1))(logits, boxes)
+        assert np.isfinite(np.asarray(glog)).all()
+        assert float(jnp.abs(gbox).sum()) > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = DETRConfig.tiny(num_classes=4)
+    model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+    return cfg, model, variables["params"]
+
+
+def _batch(B=2, H=64, W=64, T=3, seed=0):
+    rng = np.random.default_rng(seed)
+    per_image_boxes = [
+        rng.uniform(0.2, 0.5, (1 + i % 3, 4)) for i in range(B)
+    ]
+    per_image_labels = [[1 + j % 4 for j in range(len(b))] for b in per_image_boxes]
+    labels, boxes, valid = pack_targets(per_image_boxes, per_image_labels, capacity=T)
+    return {
+        "pixels": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+        "pixel_mask": jnp.ones((B, H, W), bool),
+        "labels": labels,
+        "boxes": boxes,
+        "valid": valid,
+    }
+
+
+class TestTrainStep:
+    def test_single_device_step_decreases_loss(self, tiny_setup):
+        cfg, model, params = tiny_setup
+        tx = make_optimizer(learning_rate=1e-3)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, aux_loss=True)
+        batch = _batch()
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 5
+        assert losses[-1] < losses[0]
+
+    def test_sharded_step_runs_on_8_device_mesh(self, tiny_setup):
+        cfg, model, params = tiny_setup
+        mesh = make_mesh(8, model_parallel=2)
+        tx = make_optimizer(learning_rate=1e-3)
+        state = TrainState.create(params, tx)
+        step = make_sharded_train_step(model, tx, mesh, params, aux_loss=False)
+        state = step.shard_state(state)
+        batch = step.shard_batch(_batch(B=4))
+        state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+        # TP rule check: fc1 kernel is sharded over the model axis.
+        spec = param_specs(params)
+        fc1 = spec["encoder"]["layer_0"]["fc1"]["kernel"]
+        assert fc1[1] == "model"
+
+    def test_dp_matches_single_device(self, tiny_setup):
+        """Replicated-model DP on the mesh must match the single-device step."""
+        cfg, model, params = tiny_setup
+        tx = make_optimizer(learning_rate=1e-3)
+        batch = _batch(B=4)
+        rng = jax.random.PRNGKey(2)
+
+        state_a = TrainState.create(params, tx)
+        single = make_train_step(model, tx, aux_loss=False)
+        state_a, metrics_a = single(state_a, batch, rng)
+
+        mesh = make_mesh(4, model_parallel=1)
+        sharded = make_sharded_train_step(model, tx, mesh, params, aux_loss=False)
+        state_b = sharded.shard_state(TrainState.create(params, tx))
+        state_b, metrics_b = sharded(state_b, sharded.shard_batch(batch), rng)
+
+        assert float(metrics_a["loss"]) == pytest.approx(
+            float(metrics_b["loss"]), rel=2e-4
+        )
