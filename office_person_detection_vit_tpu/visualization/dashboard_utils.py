@@ -1,0 +1,124 @@
+"""Session artifact loading for the dashboard (reference
+src/visualization/dashboard_utils.py:30-221).
+
+Pure file readers over a session directory — metadata.json, summary.json,
+pipeline_checkpoint.json, per-phase CSV/JSON artifacts, image listings.
+No pipeline imports beyond the transform facade (for on-the-fly track
+projection); usable standalone (tests) or from the Streamlit app.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+from pathlib import Path
+from typing import Any
+
+logger = logging.getLogger(__name__)
+
+
+class SessionDataLoader:
+    def __init__(self, session_dir: str | Path):
+        self.session_dir = Path(session_dir)
+
+    # --------------------------------------------------------------- roots
+    @staticmethod
+    def list_sessions(base_dir: str | Path) -> list[str]:
+        base = Path(base_dir)
+        if not base.exists():
+            return []
+        return sorted(
+            (
+                p.name
+                for p in base.iterdir()
+                if p.is_dir() and not p.is_symlink() and (p / "metadata.json").exists()
+            ),
+            reverse=True,
+        )
+
+    def _read_json(self, rel: str) -> dict[str, Any] | None:
+        path = self.session_dir / rel
+        if not path.exists():
+            return None
+        try:
+            return json.loads(path.read_text(encoding="utf-8"))
+        except (OSError, json.JSONDecodeError) as e:
+            logger.warning("could not read %s: %s", path, e)
+            return None
+
+    # ------------------------------------------------------------ artifacts
+    def metadata(self) -> dict[str, Any] | None:
+        return self._read_json("metadata.json")
+
+    def summary(self) -> dict[str, Any] | None:
+        return self._read_json("summary.json")
+
+    def checkpoint(self) -> dict[str, Any] | None:
+        return self._read_json("pipeline_checkpoint.json")
+
+    def phase_status(self) -> dict[str, str]:
+        cp = self.checkpoint() or {}
+        return {k: v.get("status", "?") for k, v in cp.get("phases", {}).items()}
+
+    def extraction_results(self) -> list[dict[str, str]]:
+        path = self.session_dir / "01_extraction" / "extraction_results.csv"
+        if not path.exists():
+            return []
+        with path.open() as f:
+            return list(csv.DictReader(f))
+
+    def detection_statistics(self) -> dict[str, Any] | None:
+        return self._read_json("02_detection/detection_statistics.json")
+
+    def tracking_statistics(self) -> dict[str, Any] | None:
+        return self._read_json("03_tracking/tracking_statistics.json")
+
+    def tracks(self) -> dict[str, Any] | None:
+        return self._read_json("03_tracking/tracks.json")
+
+    def transformations(self) -> dict[str, Any] | None:
+        return self._read_json("04_transform/coordinate_transformations.json")
+
+    def zone_counts(self) -> tuple[list[str], list[dict[str, Any]]]:
+        """(zone column names, rows) from zone_counts.csv."""
+        path = self.session_dir / "05_aggregation" / "zone_counts.csv"
+        if not path.exists():
+            return [], []
+        with path.open() as f:
+            reader = csv.DictReader(f)
+            rows = list(reader)
+            zones = [c for c in (reader.fieldnames or []) if c != "timestamp"]
+        return zones, rows
+
+    def images(self, phase: str, limit: int | None = None) -> list[Path]:
+        phase_dir = self.session_dir / phase
+        if not phase_dir.exists():
+            return []
+        out = sorted(
+            p for p in phase_dir.rglob("*") if p.suffix in (".jpg", ".png")
+        )
+        return out[:limit] if limit else out
+
+    # ------------------------------------------------------------- projection
+    def floor_trajectories(self) -> dict[int, list[tuple[float, float]]]:
+        """Per-track floor-space polylines from the transform artifact
+        (reference dashboard_app.py:154-200 re-projects live; here Phase 3
+        already persisted floor coords, so read them directly)."""
+        doc = self.transformations()
+        traj: dict[int, list[tuple[float, float]]] = {}
+        if not doc:
+            return traj
+        for frame in doc.get("frames", []):
+            for d in frame.get("detections", frame.get("det", [])):
+                tid = d.get("track_id", d.get("id"))
+                floor = d.get("floor_coords_px") or d.get("floor_px")
+                if tid is None or floor is None:
+                    continue
+                pt = (
+                    (floor["x"], floor["y"])
+                    if isinstance(floor, dict)
+                    else (floor[0], floor[1])
+                )
+                traj.setdefault(int(tid), []).append(pt)
+        return traj

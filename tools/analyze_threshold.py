@@ -1,0 +1,43 @@
+"""Confidence-threshold sweep (analog of reference tools/analyze_threshold.py;
+output contract matches output/benchmark/threshold_yolov8.json with
+"best_threshold").
+
+Usage:
+  python tools/analyze_threshold.py --gt coco_gt.json --pred detections.json \
+      [--output threshold_analysis.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="confidence-threshold sweep")
+    parser.add_argument("--gt", required=True, type=Path)
+    parser.add_argument("--pred", required=True, type=Path)
+    parser.add_argument("--output", type=Path, default=Path("threshold_analysis.json"))
+    args = parser.parse_args(argv)
+
+    from office_person_detection_vit_tpu.benchmark.detection_benchmark import (
+        DetectionBenchmark,
+        threshold_sweep,
+    )
+
+    bench = DetectionBenchmark()
+    sweep = threshold_sweep(
+        bench.load_predictions(args.pred), bench.load_coco(args.gt)
+    )
+    args.output.write_text(json.dumps(sweep, indent=2))
+    best = sweep["best_threshold"]
+    print(f"best threshold {best} (F1 {sweep['best_f1']:.4f}) -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

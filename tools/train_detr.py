@@ -1,0 +1,176 @@
+"""Fine-tune the DETR detector on a COCO-format dataset
+(analog of reference tools/train_yolov8.py:18-40, rebuilt on the
+framework's jitted training stack: Hungarian-matched set loss, AdamW with
+the DETR LR recipe, optional (data, model) mesh sharding).
+
+Usage:
+  python tools/train_detr.py --images DIR --annotations coco.json \
+      [--epochs 10] [--batch 8] [--height 768] [--width 1344] \
+      [--checkpoint out_dir] [--init torch_or_orbax_ckpt] [--model-parallel 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+logger = logging.getLogger("train_detr")
+
+
+def load_coco_dataset(images_dir: Path, annotations: Path):
+    """-> list of (image_path, boxes_cxcywh_norm, labels)."""
+    doc = json.loads(annotations.read_text())
+    images = {img["id"]: img for img in doc["images"]}
+    per_image: dict[int, list] = {img_id: [] for img_id in images}
+    for ann in doc.get("annotations", []):
+        if ann["image_id"] in per_image:
+            per_image[ann["image_id"]].append(ann)
+    samples = []
+    for img_id, anns in per_image.items():
+        info = images[img_id]
+        path = images_dir / info["file_name"]
+        if not path.exists():
+            continue
+        w, h = float(info["width"]), float(info["height"])
+        boxes, labels = [], []
+        for ann in anns:
+            x, y, bw, bh = ann["bbox"]
+            boxes.append([(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h])
+            labels.append(int(ann.get("category_id", 1)))
+        samples.append((path, np.asarray(boxes, np.float32).reshape(-1, 4), labels))
+    return samples
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Fine-tune DETR (JAX/TPU)")
+    parser.add_argument("--images", required=True, type=Path)
+    parser.add_argument("--annotations", required=True, type=Path)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--height", type=int, default=768)
+    parser.add_argument("--width", type=int, default=1344)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--checkpoint", type=Path, default=Path("runs/detr_ft"))
+    parser.add_argument("--init", type=Path, default=None,
+                        help="initial weights (torch .pt/.safetensors or orbax dir)")
+    parser.add_argument("--model-parallel", type=int, default=1)
+    parser.add_argument("--max-targets", type=int, default=32)
+    parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from office_person_detection_vit_tpu.models.detr import DETR, DETRConfig, init_detr
+    from office_person_detection_vit_tpu.ops.preprocessing import preprocess_frames
+    from office_person_detection_vit_tpu.parallel.mesh import make_mesh
+    from office_person_detection_vit_tpu.training import (
+        TrainState,
+        make_optimizer,
+        make_sharded_train_step,
+        make_train_step,
+        pack_targets,
+    )
+
+    samples = load_coco_dataset(args.images, args.annotations)
+    if not samples:
+        logger.error("no usable samples under %s", args.images)
+        return 1
+    logger.info("dataset: %d images", len(samples))
+
+    cfg = (
+        DETRConfig.tiny(use_pallas_attention=False)
+        if args.tiny
+        else DETRConfig(dtype="bfloat16",
+                        use_pallas_attention=jax.default_backend() == "tpu")
+    )
+    model = DETR(cfg)
+    if args.init and args.init.exists():
+        from office_person_detection_vit_tpu.models.weights import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(str(args.init))
+    else:
+        model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+    params = variables["params"]
+
+    tx = make_optimizer(learning_rate=args.lr, backbone_lr=args.lr / 10)
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
+        step = make_sharded_train_step(model, tx, mesh, params)
+        state = step.shard_state(TrainState.create(params, tx))
+        shard_batch = step.shard_batch
+    else:
+        step = make_train_step(model, tx)
+        state = TrainState.create(params, tx)
+        shard_batch = lambda b: b  # noqa: E731
+
+    target_hw = (args.height, args.width)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+
+    def make_batch(batch_samples):
+        frames = []
+        for path, _, _ in batch_samples:
+            img = cv2.imread(str(path))
+            frames.append(cv2.resize(img, (1280, 720)))
+        frames_u8 = jnp.asarray(np.stack(frames))
+        pixels, mask = preprocess_frames(frames_u8, target_hw=target_hw,
+                                         out_dtype=cfg.jnp_dtype)
+        labels, boxes, valid = pack_targets(
+            [s[1] for s in batch_samples],
+            [s[2] for s in batch_samples],
+            capacity=args.max_targets,
+        )
+        return {
+            "pixels": pixels,
+            "pixel_mask": mask,
+            "labels": labels,
+            "boxes": boxes,
+            "valid": valid,
+        }
+
+    steps_per_epoch = max(1, len(samples) // args.batch)
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(samples))
+        t0 = time.perf_counter()
+        losses = []
+        for i in range(steps_per_epoch):
+            idx = order[i * args.batch : (i + 1) * args.batch]
+            if len(idx) < args.batch:  # static shapes: drop ragged tail
+                break
+            batch = shard_batch(make_batch([samples[j] for j in idx]))
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(jax.device_get(metrics["loss"])))
+        logger.info(
+            "epoch %d/%d: loss %.4f (%.1fs)",
+            epoch + 1, args.epochs,
+            float(np.mean(losses)) if losses else float("nan"),
+            time.perf_counter() - t0,
+        )
+
+    import orbax.checkpoint as ocp
+
+    args.checkpoint.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = (args.checkpoint / "weights").resolve()
+    ocp.StandardCheckpointer().save(
+        ckpt_dir, {"params": jax.device_get(state.params)}, force=True
+    )
+    logger.info("saved checkpoint -> %s", ckpt_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
