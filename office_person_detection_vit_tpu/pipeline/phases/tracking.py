@@ -32,8 +32,10 @@ class TrackingPhase(BasePhase):
     def __init__(self, config: Any, logger=None):
         super().__init__(config, logger)
         self.tracker: Tracker | None = None
+        self.light_tracker = None
         self.reid: ReIDFeatureExtractor | None = None
         self.detector = None
+        self.hybrid = bool(config.get("tracking.hybrid_mode.enabled", False))
         self.save_images = bool(config.get("output.save_tracking_images", False))
         self.statistics: dict[str, Any] = {}
 
@@ -44,6 +46,16 @@ class TrackingPhase(BasePhase):
 
     def initialize(self) -> None:
         """(reference :56-144)"""
+        if self.hybrid and self.light_tracker is None:
+            from ...tracking.lightweight_tracker import LightweightTracker
+
+            self.light_tracker = LightweightTracker(
+                iou_threshold=float(self.config.get("tracking.iou_threshold", 0.3)),
+                max_age=int(self.config.get("tracking.max_age", 30)),
+                use_optical_flow=bool(
+                    self.config.get("tracking.hybrid_mode.use_optical_flow", True)
+                ),
+            )
         if self.tracker is None:
             self.tracker = Tracker.from_config(self.config)
         if self.config.get("tracking.reid.enabled", False) and self.reid is None:
@@ -77,7 +89,26 @@ class TrackingPhase(BasePhase):
                 for d, f in zip(dets, feats):
                     d.feature = f
             timestamp = float(i)
-            self.tracker.update(dets, timestamp)
+            if self.hybrid:
+                # Hybrid lightweight mode (reference lightweight_tracker.py):
+                # detection frames associate greedily; detection-less frames
+                # interpolate via optical flow / Kalman.
+                if dets:
+                    tracks = self.light_tracker.update_with_detections(
+                        dets, frame, timestamp
+                    )
+                    by_bbox = {tuple(t.bbox): t.track_id for t in tracks}
+                    for d in dets:
+                        d.track_id = by_bbox.get(tuple(d.bbox), d.track_id)
+                else:
+                    from ...core.dto import Detection as _Det
+
+                    for t in self.light_tracker.interpolate(frame, timestamp):
+                        d = _Det(bbox=tuple(t.bbox), confidence=t.confidence,
+                                 track_id=t.track_id)
+                        dets.append(d)
+            else:
+                self.tracker.update(dets, timestamp)
             id_set.update(d.track_id for d in dets if d.track_id is not None)
             if self.save_images and frame is not None and output_dir is not None:
                 ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")

@@ -216,3 +216,28 @@ class TestPhaseUnits:
         assert len(out) == 1
         assert len(out[0].detections) == 1
         assert out[0].detections[0].confidence == pytest.approx(0.54)
+
+
+class TestHybridTracking:
+    def test_hybrid_mode_interpolates_gap_frames(self, tmp_path, video):
+        from tests.test_pipeline_e2e import TestPhaseUnits
+
+        cfg = _config(
+            tmp_path, video,
+            **{"tracking.enabled": True, "tracking.hybrid_mode.enabled": True,
+               "tracking.hybrid_mode.use_optical_flow": False},
+        )
+        frs = [
+            FrameResult(0, datetime(2025, 1, 20, 9, 0, 0),
+                        [Detection(bbox=(100, 200, 50, 130), confidence=0.9)]),
+            FrameResult(1, datetime(2025, 1, 20, 9, 0, 10), []),  # gap frame
+            FrameResult(2, datetime(2025, 1, 20, 9, 0, 20),
+                        [Detection(bbox=(104, 202, 50, 130), confidence=0.9)]),
+        ]
+        TrackingPhase(cfg).execute(frs)
+        # Gap frame gained an interpolated detection with the same id.
+        assert len(frs[1].detections) == 1
+        tid = frs[0].detections[0].track_id
+        assert tid is not None
+        assert frs[1].detections[0].track_id == tid
+        assert frs[2].detections[0].track_id == tid
