@@ -25,7 +25,7 @@ import numpy as np
 from ..core.dto import Detection, DetectionBatch
 from ..models.detr import DETR, DETRConfig, init_detr
 from ..models.postprocess import postprocess_detr
-from ..ops.preprocessing import preprocess_frames
+from ..ops.preprocessing import bgr_to_i420, preprocess_frames, preprocess_frames_i420
 from .features import crop_histogram_features, roi_mean_pool
 
 logger = logging.getLogger(__name__)
@@ -44,6 +44,11 @@ class DETRDetector:
         )
         self.checkpoint_path = get("detection.checkpoint_path", None)
         self.device_pref = str(get("detection.device", "auto"))
+        # "i420" ships 1.5 bytes/px instead of 3 over the host->device link
+        # (the video source is 4:2:0 anyway, so no extra information loss);
+        # the YUV->RGB matrix is fused on-device. Worth enabling when the
+        # link is bandwidth-bound; default "bgr" skips the host cvtColor.
+        self.transfer_format = str(get("detection.transfer_format", "bgr"))
         if detr_config is None:
             common = dict(
                 num_queries=int(get("detection.num_queries", 100)),
@@ -109,13 +114,20 @@ class DETRDetector:
         conf = self.confidence_threshold
         person = self.detr_config.person_class_id
         target_hw = self.input_hw
+        i420 = self.transfer_format == "i420"
 
         @jax.jit
         def _detect(variables, frames_u8, orig_wh):
-            pixels, mask = preprocess_frames(
-                frames_u8, target_hw=target_hw,
-                out_dtype=model.config.jnp_dtype,
-            )
+            if i420:
+                pixels, mask = preprocess_frames_i420(
+                    frames_u8, target_hw=target_hw,
+                    out_dtype=model.config.jnp_dtype,
+                )
+            else:
+                pixels, mask = preprocess_frames(
+                    frames_u8, target_hw=target_hw,
+                    out_dtype=model.config.jnp_dtype,
+                )
             out = model.apply(variables, pixels, mask, deterministic=True)
             batch = postprocess_detr(
                 out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
@@ -134,6 +146,8 @@ class DETRDetector:
         pad = (-F) % self.batch_size
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
+        if self.transfer_format == "i420":
+            frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
         orig_wh = jnp.asarray([W, H], jnp.float32)
         t0 = time.perf_counter()
         chunks = []

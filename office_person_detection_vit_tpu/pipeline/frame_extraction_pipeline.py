@@ -55,6 +55,15 @@ class FrameExtractionPipeline:
         self.fps = float(config.get("video.fps", 30.0))
         self.interval_minutes = float(config.get("video.frame_interval_minutes", 5))
         self.tolerance_seconds = float(config.get("video.tolerance_seconds", 60))
+        # Dense tracking samples the grid at tracking_interval_seconds
+        # (e.g. 10 s) instead of the 5-minute output grid; Phase 2.5 then
+        # re-aggregates to output windows (reference phases/tracking.py:388-483).
+        if config.get("video.dense_tracking.enabled", False):
+            dense_s = float(
+                config.get("video.dense_tracking.tracking_interval_seconds", 10)
+            )
+            self.interval_minutes = dense_s / 60.0
+            self.tolerance_seconds = min(self.tolerance_seconds, dense_s / 2)
         self.compression_ratio = float(config.get("video.time_compression_ratio", 313.0))
         self.coarse_interval = float(
             config.get("timestamp.sampling.coarse_interval_seconds", 5.0)

@@ -1,0 +1,78 @@
+"""I420 transfer-path parity: on-device YUV->RGB matches cv2's conversion."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.ops.preprocessing import (
+    bgr_to_i420,
+    preprocess_frames,
+    preprocess_frames_i420,
+)
+
+
+def test_i420_halves_transfer_bytes():
+    frames = np.zeros((2, 720, 1280, 3), np.uint8)
+    planes = bgr_to_i420(frames)
+    assert planes.shape == (2, 1080, 1280)
+    assert planes.nbytes * 2 == frames.nbytes
+
+
+def test_i420_preprocess_matches_bgr_path():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 72, 96, 3), np.uint8)
+    planes = bgr_to_i420(frames)
+
+    # Reference: cv2 roundtrip I420 -> BGR, then the BGR preprocess path.
+    # (Chroma subsampling is lossy, so compare against the roundtripped
+    # frames, not the originals.)
+    back = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2BGR_I420) for p in planes])
+    want, want_mask = preprocess_frames(
+        jnp.asarray(back), target_hw=(96, 128), out_dtype=jnp.float32
+    )
+    got, got_mask = preprocess_frames_i420(
+        jnp.asarray(planes), target_hw=(96, 128), out_dtype=jnp.float32
+    )
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+    # BT.601 coefficients differ from cv2's fixed-point table by <2/255;
+    # after ImageNet normalization (std ~0.22) that is ~0.04.
+    diff = np.abs(np.asarray(got) - np.asarray(want))
+    assert np.percentile(diff, 99) < 0.12
+    assert diff.mean() < 0.03
+
+
+def test_detector_i420_vs_bgr_same_detections():
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+    from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (2, 72, 96, 3), np.uint8)
+
+    def build(fmt):
+        cfg = ConfigManager.from_dict(
+            {
+                "detection": {
+                    "confidence_threshold": 0.0,
+                    "batch_size": 2,
+                    "input_height": 96,
+                    "input_width": 128,
+                    "dtype": "float32",
+                    "use_pallas_attention": False,
+                    "transfer_format": fmt,
+                }
+            }
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+        det.load_model()
+        return det
+
+    b_bgr = build("bgr").detect_batch(frames)
+    b_i420 = build("i420").detect_batch(frames)
+    # Same shapes; scores close (input differs only by chroma subsampling).
+    assert b_i420.scores.shape == b_bgr.scores.shape
+    np.testing.assert_allclose(
+        np.asarray(b_i420.scores), np.asarray(b_bgr.scores), atol=0.2
+    )
