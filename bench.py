@@ -42,17 +42,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (batch, 720, 1280, 3), np.uint8)
 
-    # Warmup (compile) + 1 steady-state check.
+    # Warmup (compile) + steady-state checks.
     detector.detect_batch(frames)
     detector.detect_batch(frames)
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = detector.detect_batch(frames)
-    jax.block_until_ready(out.scores)
-    elapsed = time.perf_counter() - t0
-    fps = batch * iters / elapsed
+    # Median of repeated timed windows — the device link can be bursty.
+    iters, windows = 5, 3
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = detector.detect_batch(frames)
+        jax.block_until_ready(out.scores)
+        rates.append(batch * iters / (time.perf_counter() - t0))
+    fps = float(np.median(rates))
 
     print(
         json.dumps(

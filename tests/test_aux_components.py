@@ -272,3 +272,71 @@ class TestCameraOptimizer:
         H0 = fit_homography_dlt(cam, noisy)
         H, stats = refine_homography_jax(H0, cam, noisy, steps=500)
         assert stats["rmse"] < 1.5  # dominated by the injected 0.5 px noise
+
+
+class TestGTEditor:
+    def test_annotation_model_and_coco_export(self, tmp_path):
+        import cv2
+        from tools.gt_editor import GTEditor
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for name in ("a.jpg", "b.jpg"):
+            cv2.imwrite(str(img_dir / name), np.zeros((60, 80, 3), np.uint8))
+        paths = sorted(img_dir.iterdir())
+        ed = GTEditor(paths, tmp_path / "gt.json", resume=None)
+        # Simulate a drag on image 0: down at (10, 10), up at (40, 50).
+        ed.on_mouse(cv2.EVENT_LBUTTONDOWN, 10, 10, 0, None)
+        ed.on_mouse(cv2.EVENT_LBUTTONUP, 40, 50, 0, None)
+        assert ed.annotations["a.jpg"][0]["bbox"] == [10.0, 10.0, 30.0, 40.0]
+        ed.save()
+        doc = json.loads((tmp_path / "gt.json").read_text())
+        assert len(doc["images"]) == 2
+        assert doc["annotations"][0]["bbox"] == [10.0, 10.0, 30.0, 40.0]
+        # Resume round-trips.
+        ed2 = GTEditor(paths, tmp_path / "gt.json", resume=tmp_path / "gt.json")
+        assert ed2.annotations["a.jpg"][0]["track_id"] == 1
+
+    def test_tiny_drag_ignored(self, tmp_path):
+        import cv2
+        from tools.gt_editor import GTEditor
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((60, 80, 3), np.uint8))
+        ed = GTEditor(sorted(img_dir.iterdir()), tmp_path / "gt.json", None)
+        ed.on_mouse(cv2.EVENT_LBUTTONDOWN, 10, 10, 0, None)
+        ed.on_mouse(cv2.EVENT_LBUTTONUP, 12, 12, 0, None)
+        assert "a.jpg" not in ed.annotations
+
+
+class TestArtifactValidator:
+    def test_validates_good_session(self, tmp_path):
+        from tools.validate_artifacts import validate_session
+
+        s = tmp_path / "sess"
+        (s / "04_transform").mkdir(parents=True)
+        (s / "metadata.json").write_text(json.dumps(
+            {"session_id": "20260101_120000", "timestamp": "2026-01-01T12:00:00",
+             "config": {}}))
+        (s / "summary.json").write_text(json.dumps(
+            {"session_id": "20260101_120000", "timestamp": "2026-01-01T12:00:00",
+             "status": "completed"}))
+        (s / "pipeline_checkpoint.json").write_text(json.dumps(
+            {"session_dir": str(s), "created_at": "2026-01-01T12:00:00",
+             "phases": {"01_extraction": {"status": "completed"}}}))
+        (s / "04_transform" / "coordinate_transformations.json").write_text(
+            json.dumps({"transform_method": "homography", "frames": []}))
+        schemas = Path(__file__).resolve().parents[1] / "schemas"
+        assert validate_session(s, schemas) == []
+
+    def test_flags_bad_artifact(self, tmp_path):
+        from tools.validate_artifacts import validate_session
+
+        s = tmp_path / "sess"
+        s.mkdir()
+        (s / "summary.json").write_text(json.dumps({"status": "bogus_status"}))
+        schemas = Path(__file__).resolve().parents[1] / "schemas"
+        errors = validate_session(s, schemas)
+        assert any("summary.json" in e and "INVALID" in e for e in errors)
+        assert any("MISSING" in e for e in errors)
