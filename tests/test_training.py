@@ -182,3 +182,55 @@ class TestTrainStep:
         assert float(metrics_a["loss"]) == pytest.approx(
             float(metrics_b["loss"]), rel=2e-4
         )
+
+
+class TestShardedInference:
+    def test_detect_on_8_device_mesh(self, tiny_setup):
+        from office_person_detection_vit_tpu.parallel.inference import (
+            make_sharded_detect,
+        )
+
+        cfg, model, params = tiny_setup
+        mesh = make_mesh(8, model_parallel=1)
+        variables = {"params": params}
+        detect = make_sharded_detect(
+            model, mesh, variables, target_hw=(96, 128), confidence_threshold=0.0
+        )
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (16, 72, 96, 3), np.uint8)
+        )
+        v, f = detect.shard_inputs(variables, frames)
+        batch = detect(v, f, jnp.asarray([96.0, 72.0], jnp.float32))
+        assert batch.boxes_xywh.shape == (16, 10, 4)
+        # Output is sharded over the data axis.
+        assert len(batch.scores.sharding.device_set) == 8
+
+    def test_matches_single_device(self, tiny_setup):
+        from office_person_detection_vit_tpu.parallel.inference import (
+            make_sharded_detect,
+        )
+
+        cfg, model, params = tiny_setup
+        variables = {"params": params}
+        frames = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, (8, 72, 96, 3), np.uint8)
+        )
+        orig_wh = jnp.asarray([96.0, 72.0], jnp.float32)
+
+        mesh1 = make_mesh(1)
+        d1 = make_sharded_detect(model, mesh1, variables, (96, 128), 0.0)
+        v1, f1 = d1.shard_inputs(variables, frames)
+        b1 = d1(v1, f1, orig_wh)
+
+        mesh8 = make_mesh(8, model_parallel=2)
+        d8 = make_sharded_detect(
+            model, mesh8, variables, (96, 128), 0.0, tensor_parallel=True
+        )
+        v8, f8 = d8.shard_inputs(variables, frames)
+        b8 = d8(v8, f8, orig_wh)
+        np.testing.assert_allclose(
+            np.asarray(b1.scores), np.asarray(b8.scores), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1.boxes_xywh), np.asarray(b8.boxes_xywh), atol=0.2
+        )
