@@ -1,0 +1,154 @@
+"""SingleShotDetector facade — the alternate detector behind the same
+pluggable contract as DETRDetector (reference yolov8_detector.py:19-24:
+"provides the same interface as ViTDetector", including the
+``get_attention_map`` compatibility stub :243-254).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dto import Detection, DetectionBatch
+from ..models.single_shot import (
+    SingleShotConfig,
+    SingleShotDetector,
+    decode_single_shot,
+    init_single_shot,
+)
+from ..ops.preprocessing import preprocess_frames
+from .features import crop_histogram_features
+
+logger = logging.getLogger(__name__)
+
+
+class SSDDetector:
+    """Anchor-free single-shot person detector (same API as DETRDetector)."""
+
+    def __init__(self, config: Any = None, *, ss_config: SingleShotConfig | None = None):
+        get = (lambda k, d: config.get(k, d)) if config is not None else (lambda k, d: d)
+        self.confidence_threshold = float(get("detection.confidence_threshold", 0.5))
+        self.batch_size = int(get("detection.batch_size", 8))
+        self.input_hw = (
+            int(get("detection.input_height", 768)),
+            int(get("detection.input_width", 1344)),
+        )
+        self.checkpoint_path = get("detection.checkpoint_path", None)
+        if ss_config is None:
+            common = dict(
+                dtype=str(get("detection.dtype", "bfloat16")),
+                nms_iou_threshold=float(get("detection.nms_threshold", 0.45)),
+            )
+            if str(get("detection.model_size", "full")) == "tiny":
+                ss_config = SingleShotConfig.tiny(
+                    nms_iou_threshold=common["nms_iou_threshold"]
+                )
+            else:
+                ss_config = SingleShotConfig(**common)
+        self.ss_config = ss_config
+        self.model: SingleShotDetector | None = None
+        self.variables = None
+        self._jit_detect = None
+        self.last_inference_time = 0.0
+
+    def load_model(self) -> None:
+        rng = jax.random.PRNGKey(0)
+        ckpt = self.checkpoint_path
+        if ckpt and Path(str(ckpt)).is_dir():
+            import orbax.checkpoint as ocp
+
+            self.model = SingleShotDetector(self.ss_config)
+            self.variables = ocp.StandardCheckpointer().restore(
+                Path(str(ckpt)).resolve()
+            )
+            logger.info("loaded orbax checkpoint from %s", ckpt)
+        else:
+            if ckpt:
+                logger.warning("checkpoint %s not found; using random init", ckpt)
+            self.model, self.variables = init_single_shot(
+                self.ss_config, rng, input_hw=(64, 64)
+            )
+        self.variables = jax.device_put(self.variables)
+        self._build_jits()
+
+    def _build_jits(self) -> None:
+        model = self.model
+        conf = self.confidence_threshold
+        target_hw = self.input_hw
+        cfg = self.ss_config
+
+        @jax.jit
+        def _detect(variables, frames_u8, orig_wh):
+            pixels, _mask = preprocess_frames(
+                frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
+            )
+            out = model.apply(variables, pixels, deterministic=True)
+            batch = decode_single_shot(out, orig_wh, target_hw, cfg, conf)
+            return batch, out["features"]
+
+        self._jit_detect = _detect
+
+    # Same batched surface as DETRDetector ------------------------------
+    def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
+        if self.model is None:
+            self.load_model()
+        F, H, W, _ = frames.shape
+        pad = (-F) % self.batch_size
+        if pad:
+            frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
+        orig_wh = jnp.asarray([W, H], jnp.float32)
+        t0 = time.perf_counter()
+        chunks = []
+        for i in range(0, len(frames), self.batch_size):
+            batch, _ = self._jit_detect(
+                self.variables, jnp.asarray(frames[i : i + self.batch_size]), orig_wh
+            )
+            chunks.append(batch)
+        jax.block_until_ready(chunks[-1].scores)
+        self.last_inference_time = time.perf_counter() - t0
+        return DetectionBatch(
+            boxes_xywh=jnp.concatenate([c.boxes_xywh for c in chunks])[:F],
+            scores=jnp.concatenate([c.scores for c in chunks])[:F],
+            valid=jnp.concatenate([c.valid for c in chunks])[:F],
+            foot=jnp.concatenate([c.foot for c in chunks])[:F],
+        )
+
+    def detect(self, frame: np.ndarray) -> list[Detection]:
+        return self.detect_batch(frame[None]).to_frame_results()[0].detections
+
+    def detect_with_features(self, frame: np.ndarray):
+        dets = self.detect(frame)
+        feats = crop_histogram_features(
+            frame, np.asarray([d.bbox for d in dets], np.float32).reshape(-1, 4)
+        )
+        for d, f in zip(dets, feats):
+            d.feature = f
+        return dets, feats
+
+    def extract_features(self, frame: np.ndarray, bboxes) -> np.ndarray:
+        return crop_histogram_features(frame, np.asarray(bboxes, np.float32))
+
+    def get_attention_map(self, frame: np.ndarray) -> np.ndarray | None:
+        """Compatibility stub — conv detectors have no attention
+        (reference yolov8_detector.py:243-254 behavior)."""
+        return None
+
+    def cleanup(self) -> None:
+        self.variables = None
+        self._jit_detect = None
+
+
+def build_detector(config: Any):
+    """Detector factory keyed on ``detection.model`` ("detr" | "ssd")."""
+    model = str(config.get("detection.model", "detr")).lower()
+    if model in ("ssd", "single_shot", "yolo"):
+        return SSDDetector(config)
+    from .detector import DETRDetector
+
+    return DETRDetector(config)

@@ -17,6 +17,7 @@ import numpy as np
 
 from ...core.dto import DetectionBatch, FrameResult
 from ...detection.detector import DETRDetector
+from ...detection.ssd_detector import build_detector
 from ...utils.image_utils import save_detection_image
 from ...utils.stats_utils import calculate_detection_statistics
 from .base import BasePhase
@@ -35,7 +36,7 @@ class DetectionPhase(BasePhase):
     def initialize(self) -> None:
         """Build + load the detector (reference :34-54)."""
         if self.detector is None:
-            self.detector = DETRDetector(self.config)
+            self.detector = build_detector(self.config)
         if self.detector.model is None:
             self.detector.load_model()
 

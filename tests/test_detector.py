@@ -118,3 +118,62 @@ def test_extract_features_crop_fallback(tiny_detector):
     feats = tiny_detector.extract_features(frame, [(10.0, 10.0, 30.0, 40.0)])
     assert feats.shape == (1, 256)
     np.testing.assert_allclose(np.linalg.norm(feats[0]), 1.0, atol=1e-4)
+
+
+class TestSSDDetector:
+    @pytest.fixture(scope="class")
+    def tiny_ssd(self):
+        from office_person_detection_vit_tpu.detection.ssd_detector import SSDDetector
+        from office_person_detection_vit_tpu.models.single_shot import SingleShotConfig
+
+        cfg = ConfigManager.from_dict(
+            {
+                "detection": {
+                    "confidence_threshold": 0.0,
+                    "batch_size": 2,
+                    "input_height": 96,
+                    "input_width": 128,
+                }
+            }
+        )
+        det = SSDDetector(cfg, ss_config=SingleShotConfig.tiny())
+        det.load_model()
+        return det
+
+    def test_batch_shapes_match_detr_contract(self, tiny_ssd):
+        frames = np.random.default_rng(5).integers(0, 255, (3, 72, 96, 3), np.uint8)
+        batch = tiny_ssd.detect_batch(frames)
+        assert batch.boxes_xywh.shape == (3, 10, 4)
+        assert batch.scores.shape == (3, 10)
+        b = np.asarray(batch.boxes_xywh)
+        f = np.asarray(batch.foot)
+        np.testing.assert_allclose(f[:, :, 0], b[:, :, 0] + b[:, :, 2] / 2, atol=1e-3)
+        np.testing.assert_allclose(f[:, :, 1], b[:, :, 1] + b[:, :, 3], atol=1e-3)
+        # Boxes inside the original image.
+        valid = np.asarray(batch.valid)
+        assert (b[valid][:, 0] >= -1e-3).all()
+        assert (b[valid][:, 0] + b[valid][:, 2] <= 96 + 1e-3).all()
+
+    def test_same_api_surface(self, tiny_ssd):
+        frame = np.random.default_rng(6).integers(0, 255, (72, 96, 3), np.uint8)
+        dets = tiny_ssd.detect(frame)
+        assert isinstance(dets, list)
+        dets2, feats = tiny_ssd.detect_with_features(frame)
+        assert len(dets2) == len(feats)
+        assert tiny_ssd.get_attention_map(frame) is None  # conv stub
+
+    def test_factory(self):
+        from office_person_detection_vit_tpu.detection.ssd_detector import (
+            SSDDetector,
+            build_detector,
+        )
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+
+        assert isinstance(
+            build_detector(ConfigManager.from_dict({"detection": {"model": "ssd"}})),
+            SSDDetector,
+        )
+        assert isinstance(
+            build_detector(ConfigManager.from_dict({"detection": {"model": "detr"}})),
+            DETRDetector,
+        )
