@@ -3,6 +3,7 @@ single-chip and mesh-sharded train steps."""
 
 from .criterion import CriterionConfig, detr_loss, pack_targets
 from .matcher import auction_assignment, batch_hungarian_match, hungarian_match
+from .ssd_criterion import SSDCriterionConfig, make_ssd_train_step, ssd_loss
 from .train_step import (
     TrainState,
     make_optimizer,
@@ -20,5 +21,8 @@ __all__ = [
     "make_optimizer",
     "make_sharded_train_step",
     "make_train_step",
+    "SSDCriterionConfig",
+    "make_ssd_train_step",
     "pack_targets",
+    "ssd_loss",
 ]

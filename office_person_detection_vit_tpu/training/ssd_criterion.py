@@ -1,0 +1,176 @@
+"""FCOS-style training loss for the single-shot detector
+(models/single_shot.py) — the trainable path for the alternate detector
+family (the reference fine-tuned its alternate detector via ultralytics,
+tools/train_yolov8.py; here it is a jitted criterion like the DETR one).
+
+Anchor-free center-sampling assignment, fully vectorized:
+  * a grid cell is positive for a GT box if the cell center falls inside
+    the box's central region (center_radius * stride);
+  * overlapping GTs resolve to the smallest-area box (FCOS rule);
+  * losses: BCE on objectness over all cells (positives=1), BCE on class
+    scores and IoU loss on the (l,t,r,b) regression over positive cells,
+    normalized by the global positive count (GSPMD-friendly sum).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+@dataclass(frozen=True)
+class SSDCriterionConfig:
+    stride: int = 32
+    center_radius: float = 1.5
+    w_obj: float = 1.0
+    w_cls: float = 1.0
+    w_iou: float = 2.0
+
+
+def _bce(logits: Array, targets: Array) -> Array:
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def assign_targets(
+    tgt_boxes: Array,   # (T, 4) cxcywh normalized [0,1]
+    tgt_valid: Array,   # (T,)
+    grid_hw: tuple[int, int],
+    input_hw: tuple[int, int],
+    center_radius: float,
+    stride: int,
+):
+    """Per-cell assignment for ONE image. Returns (pos (fh,fw) bool,
+    box_idx (fh,fw) int32 — index of the assigned GT)."""
+    fh, fw = grid_hw
+    ih, iw = input_hw
+    cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * stride  # pixels
+    cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * stride
+    gcx = tgt_boxes[:, 0] * iw   # (T,)
+    gcy = tgt_boxes[:, 1] * ih
+    gw = tgt_boxes[:, 2] * iw
+    gh = tgt_boxes[:, 3] * ih
+
+    # (T, fh, fw): center-sampling region AND inside the box.
+    dx = jnp.abs(cx[None, None, :] - gcx[:, None, None])
+    dy = jnp.abs(cy[None, :, None] - gcy[:, None, None])
+    in_center = (dx <= center_radius * stride) & (dy <= center_radius * stride)
+    in_box = (dx <= gw[:, None, None] / 2) & (dy <= gh[:, None, None] / 2)
+    candidate = in_center & in_box & tgt_valid[:, None, None]
+
+    area = jnp.where(tgt_valid, gw * gh, jnp.inf)  # (T,)
+    # Smallest-area GT wins each cell.
+    cell_area = jnp.where(candidate, area[:, None, None], jnp.inf)  # (T, fh, fw)
+    box_idx = jnp.argmin(cell_area, axis=0)  # (fh, fw)
+    pos = jnp.any(candidate, axis=0)
+    return pos, box_idx
+
+
+def ssd_loss(
+    outputs: dict,      # raw head outputs from SingleShotDetector
+    tgt_labels: Array,  # (B, T) int32 (1-based class ids; 0 allowed)
+    tgt_boxes: Array,   # (B, T, 4) cxcywh normalized
+    tgt_valid: Array,   # (B, T)
+    input_hw: tuple[int, int],
+    config: SSDCriterionConfig = SSDCriterionConfig(),
+) -> tuple[Array, dict[str, Array]]:
+    obj = outputs["objectness"]        # (B, fh, fw)
+    cls = outputs["class_logits"]      # (B, fh, fw, C)
+    ltrb = outputs["ltrb"]             # (B, fh, fw, 4) stride units, >=0
+    B, fh, fw = obj.shape
+    C = cls.shape[-1]
+    ih, iw = input_hw
+    stride = config.stride
+
+    pos, box_idx = jax.vmap(
+        lambda tb, tv: assign_targets(
+            tb, tv, (fh, fw), input_hw, config.center_radius, stride
+        )
+    )(tgt_boxes, tgt_valid)  # (B, fh, fw) bool / int32
+
+    posf = pos.astype(jnp.float32)
+    num_pos = jnp.maximum(jnp.sum(posf), 1.0)
+
+    # ------------------------------------------------------------- objness
+    loss_obj = jnp.sum(_bce(obj, posf)) / num_pos
+
+    # ----------------------------------------------------------------- cls
+    assigned_labels = jnp.take_along_axis(
+        tgt_labels, box_idx.reshape(B, -1), axis=1
+    ).reshape(B, fh, fw)  # (B, fh, fw)
+    # One-hot over C classes; labels are 1-based COCO-ish ids -> clamp into range.
+    onehot = jax.nn.one_hot(jnp.clip(assigned_labels - 1, 0, C - 1), C)
+    loss_cls = jnp.sum(_bce(cls, onehot) * posf[..., None]) / num_pos
+
+    # ----------------------------------------------------------------- box
+    cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * stride
+    cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * stride
+    l, t, r, b = (ltrb[..., i] * stride for i in range(4))
+    px0 = cx[None, None, :] - l
+    py0 = cy[None, :, None] - t
+    px1 = cx[None, None, :] + r
+    py1 = cy[None, :, None] + b
+
+    gb = jnp.take_along_axis(
+        tgt_boxes, box_idx.reshape(B, -1, 1), axis=1
+    ).reshape(B, fh, fw, 4)
+    gx0 = (gb[..., 0] - gb[..., 2] / 2) * iw
+    gy0 = (gb[..., 1] - gb[..., 3] / 2) * ih
+    gx1 = (gb[..., 0] + gb[..., 2] / 2) * iw
+    gy1 = (gb[..., 1] + gb[..., 3] / 2) * ih
+
+    ix0 = jnp.maximum(px0, gx0)
+    iy0 = jnp.maximum(py0, gy0)
+    ix1 = jnp.minimum(px1, gx1)
+    iy1 = jnp.minimum(py1, gy1)
+    inter = jnp.clip(ix1 - ix0, 0) * jnp.clip(iy1 - iy0, 0)
+    area_p = jnp.clip(px1 - px0, 0) * jnp.clip(py1 - py0, 0)
+    area_g = jnp.clip(gx1 - gx0, 0) * jnp.clip(gy1 - gy0, 0)
+    iou = inter / jnp.maximum(area_p + area_g - inter, 1e-9)
+    loss_iou = jnp.sum((1.0 - iou) * posf) / num_pos
+
+    total = (
+        config.w_obj * loss_obj + config.w_cls * loss_cls + config.w_iou * loss_iou
+    )
+    return total, {
+        "loss": total,
+        "loss_obj": loss_obj,
+        "loss_cls": loss_cls,
+        "loss_iou": loss_iou,
+        "num_pos": num_pos,
+    }
+
+
+def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None):
+    """Jitted (state, batch, rng) -> (state, metrics) for the single-shot
+    detector (same TrainState/batch contract as the DETR step)."""
+    import optax
+
+    from .train_step import TrainState
+
+    if config is None:
+        config = SSDCriterionConfig(stride=model.config.stride)
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch["pixels"], deterministic=True)
+        return ssd_loss(
+            out, batch["labels"], batch["boxes"], batch["valid"], input_hw, config
+        )
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    return step

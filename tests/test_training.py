@@ -234,3 +234,58 @@ class TestShardedInference:
         np.testing.assert_allclose(
             np.asarray(b1.boxes_xywh), np.asarray(b8.boxes_xywh), atol=0.2
         )
+
+
+class TestSSDCriterion:
+    @pytest.fixture(scope="class")
+    def ssd_setup(self):
+        from office_person_detection_vit_tpu.models.single_shot import (
+            SingleShotConfig,
+            init_single_shot,
+        )
+
+        cfg = SingleShotConfig.tiny()
+        model, variables = init_single_shot(cfg, jax.random.PRNGKey(0), (64, 64))
+        return cfg, model, variables["params"]
+
+    def test_assignment_center_sampling(self):
+        from office_person_detection_vit_tpu.training.ssd_criterion import (
+            assign_targets,
+        )
+
+        # One box covering the center of a 64x64 image on a 2x2 grid (stride 32).
+        tgt = jnp.asarray([[0.5, 0.5, 0.9, 0.9]], jnp.float32)
+        valid = jnp.asarray([True])
+        pos, box_idx = assign_targets(tgt, valid, (2, 2), (64, 64), 1.5, 32)
+        assert bool(pos.any())
+        assert (np.asarray(box_idx)[np.asarray(pos)] == 0).all()
+
+    def test_no_valid_targets_no_positives(self):
+        from office_person_detection_vit_tpu.training.ssd_criterion import (
+            assign_targets,
+        )
+
+        tgt = jnp.zeros((2, 4), jnp.float32)
+        valid = jnp.asarray([False, False])
+        pos, _ = assign_targets(tgt, valid, (2, 2), (64, 64), 1.5, 32)
+        assert not bool(pos.any())
+
+    def test_train_step_decreases_loss(self, ssd_setup):
+        from office_person_detection_vit_tpu.training import (
+            make_ssd_train_step,
+        )
+
+        cfg, model, params = ssd_setup
+        import optax
+
+        tx = optax.adam(1e-3)
+        state = TrainState.create(params, tx)
+        step = make_ssd_train_step(model, tx, (64, 64))
+        batch = _batch(B=2)
+        losses = []
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        assert float(metrics["num_pos"]) >= 1
