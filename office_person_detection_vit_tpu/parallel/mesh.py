@@ -56,6 +56,32 @@ def make_mesh(
     return mesh
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (SURVEY.md §5.8: DCN process groups for
+    multi-host). On single-host TPU or CPU this is a no-op; on a multi-host
+    pod slice JAX auto-discovers the coordinator from the TPU environment
+    when no arguments are given."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+    except (RuntimeError, ValueError) as e:
+        # Already initialized, or single-process environment.
+        logger.debug("jax.distributed.initialize skipped: %s", e)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (frame batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

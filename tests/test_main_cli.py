@@ -79,3 +79,36 @@ def test_default_repo_config_is_valid():
     assert cm.get("detection.model") == "detr"
     assert cm.get("detection.input_height") % 32 == 0
     assert cm.get("detection.input_width") % 32 == 0
+
+
+def test_evaluate_flag_runs_evaluation(tmp_path):
+    """--evaluate with a GT file produces the evaluation report."""
+    import cv2
+    import numpy as np
+
+    video = write_video(tmp_path / "v.mp4", num_frames=40)
+    cfg_path = _write_config(tmp_path, video)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    # GT keyed by the frame filenames Phase 1 will save.
+    gt = {
+        "images": [],
+        "annotations": [],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    cfg["evaluation"] = {"ground_truth_path": str(gt_path), "iou_threshold": 0.5}
+    cfg["output"]["save_extracted_frames"] = True
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    rc = main(["--config", str(cfg_path), "--evaluate"])
+    assert rc == 0
+    sessions = [
+        p for p in (tmp_path / "output").iterdir()
+        if p.is_dir() and not p.is_symlink()
+    ]
+    # Empty GT -> evaluation runs and reports zero metrics.
+    report = sessions[0] / "evaluation" / "evaluation_metrics.json"
+    assert report.exists()
+    metrics = json.loads(report.read_text())
+    assert metrics["true_positives"] == 0
