@@ -154,6 +154,148 @@ def attention_pallas(
     return out[:, :, :Lq, :D]
 
 
+def _flash_attn_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float
+):
+    """Flash-attention forward: online softmax over KV blocks.
+
+    Grid: (BH, n_q_blocks, n_k_blocks), k innermost. Blocks:
+      q_ref (1, BQ, D), k_ref/v_ref (1, BK, D), mask_ref (1, 1, BK),
+      o_ref (1, BQ, D). Scratch: m/l (BQ, 128) f32 running max / normalizer
+      (value broadcast across lanes), acc (BQ, D) f32.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    valid = mask_ref[0, 0, :] > 0.5
+    s = jnp.where(valid[None, :], s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (BQ, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    # Zero out fully-masked columns explicitly: when every key so far is
+    # invalid m_new == NEG_INF and exp(s - m_new) would be exp(0) = 1.
+    p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)  # (BQ, BK)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def attention_pallas_flash(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_padding_mask: Array | None = None,
+    *,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> Array:
+    """Flash-style streaming attention (same contract as
+    attention_reference). The (Lq, Lk) score matrix never materializes —
+    VMEM holds one (block_q, block_k) tile + a (block_q, D) accumulator, so
+    sequence length is bounded by HBM, not VMEM (SURVEY.md §5.7
+    "blockwise ... so long-context variants are possible")."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / float(D) ** 0.5
+
+    block_q = min(block_q, _round_up(Lq, 128))
+    block_k = min(block_k, _round_up(Lk, 128))
+    Lq_p = _round_up(Lq, block_q)
+    Lk_p = _round_up(Lk, block_k)
+    D_p = _round_up(D, 8)
+
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, Lq_p - Lq), (0, D_p - D)])
+    kp = jnp.pad(k, [(0, 0), (0, 0), (0, Lk_p - Lk), (0, D_p - D)])
+    vp = jnp.pad(v, [(0, 0), (0, 0), (0, Lk_p - Lk), (0, D_p - D)])
+    if key_padding_mask is None:
+        mask = jnp.ones((B, Lk), jnp.float32)
+    else:
+        mask = key_padding_mask.astype(jnp.float32)
+    mask = jnp.pad(mask, [(0, 0), (0, Lk_p - Lk)])
+
+    BH = B * H
+    qf = qp.reshape(BH, Lq_p, D_p)
+    kf = kp.reshape(BH, Lk_p, D_p)
+    vf = vp.reshape(BH, Lk_p, D_p)
+    maskf = jnp.repeat(mask, H, axis=0).reshape(BH, 1, Lk_p)
+
+    grid = (BH, Lq_p // block_q, Lk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq_p, D_p), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, block_q, D_p), lambda i, qi, ki: (i, qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, block_k, D_p), lambda i, qi, ki: (i, ki, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, block_k, D_p), lambda i, qi, ki: (i, ki, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k), lambda i, qi, ki: (i, 0, ki),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, D_p), lambda i, qi, ki: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+                pltpu.VMEM((block_q, D_p), jnp.float32),  # output accumulator
+            ],
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Lq_p * Lk_p * D_p,
+            bytes_accessed=BH * (Lq_p * D_p + 2 * Lk_p * D_p + Lq_p * D_p) * 4,
+            transcendentals=BH * Lq_p * Lk_p,
+        ),
+    )(qf, kf, vf, maskf)
+    return out.reshape(B, H, Lq_p, D_p)[:, :, :Lq, :D]
+
+
+#: Above this score-matrix footprint (f32 bytes) the whole-KV kernel would
+#: pressure VMEM; switch to the streaming kernel.
+_FLASH_BYTES_THRESHOLD = 8 * 1024 * 1024
+
+
 def multi_head_attention(
     q: Array,
     k: Array,
@@ -163,7 +305,14 @@ def multi_head_attention(
     use_pallas: bool = False,
     interpret: bool = False,
 ) -> Array:
-    """Dispatch between the Pallas kernel and the einsum reference."""
+    """Dispatch: einsum reference, whole-KV fused kernel (DETR-sized
+    sequences), or flash streaming kernel (long sequences)."""
     if use_pallas:
+        Lq_p = _round_up(q.shape[2], 128)
+        Lk_p = _round_up(k.shape[2], 128)
+        if Lq_p * Lk_p * 4 > _FLASH_BYTES_THRESHOLD:
+            return attention_pallas_flash(
+                q, k, v, key_padding_mask, interpret=interpret
+            )
         return attention_pallas(q, k, v, key_padding_mask, interpret=interpret)
     return attention_reference(q, k, v, key_padding_mask)

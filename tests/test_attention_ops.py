@@ -37,3 +37,59 @@ def test_return_probs_sums_to_one():
     v = jnp.asarray(rng.normal(size=(1, 2, 7, 8)), jnp.float32)
     out, probs = attention.attention_reference(q, k, v, None, return_probs=True)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+class TestFlashAttention:
+    """Streaming (online-softmax) kernel vs the einsum reference."""
+
+    @pytest.mark.parametrize("lq,lk", [(64, 64), (100, 1008), (300, 2500)])
+    def test_matches_reference(self, lq, lk):
+        from office_person_detection_vit_tpu.ops.attention import (
+            attention_pallas_flash,
+            attention_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        B, H, D = 2, 4, 32
+        q = jnp.asarray(rng.normal(size=(B, H, lq, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, lk, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, lk)) > 0.2)
+        want = attention_reference(q, k, v, mask)
+        got = attention_pallas_flash(q, k, v, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_no_mask(self):
+        from office_person_detection_vit_tpu.ops.attention import (
+            attention_pallas_flash,
+            attention_reference,
+        )
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 2, 130, 16)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 2, 260, 16)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 2, 260, 16)), jnp.float32)
+        want = attention_reference(q, k, v)
+        got = attention_pallas_flash(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_fully_masked_rows_are_finite(self):
+        from office_person_detection_vit_tpu.ops.attention import (
+            attention_pallas_flash,
+        )
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(1, 1, 8, 8)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 1, 16, 8)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 1, 16, 8)), jnp.float32)
+        mask = jnp.zeros((1, 16), bool)  # every key invalid
+        out = attention_pallas_flash(q, k, v, mask, interpret=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dispatch_selects_flash_for_long_seq(self):
+        from office_person_detection_vit_tpu.ops import attention as A
+
+        # 2048 x 2048 f32 scores = 16 MB > threshold -> flash path.
+        assert 2048 * 2048 * 4 > A._FLASH_BYTES_THRESHOLD
+        # DETR-sized stays on the whole-KV kernel.
+        assert 1024 * 1024 * 4 < A._FLASH_BYTES_THRESHOLD
