@@ -91,6 +91,17 @@ class DETRDetector:
 
                 self.variables = ocp.StandardCheckpointer().restore(ckpt.resolve())
                 logger.info("loaded orbax checkpoint from %s", ckpt)
+            elif ckpt.suffix == ".npz":
+                import numpy as _np
+
+                self.model, template = init_detr(
+                    self.detr_config, rng, input_hw=(64, 64)
+                )
+                with _np.load(ckpt) as data:
+                    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+                treedef = jax.tree_util.tree_structure(template)
+                self.variables = jax.tree_util.tree_unflatten(treedef, leaves)
+                logger.info("loaded npz checkpoint from %s", ckpt)
             else:
                 from ..models.weights import load_torch_checkpoint
 

@@ -25,6 +25,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 logger = logging.getLogger("train_detr")
 
 
+def _save_pytree(path: Path, tree) -> None:
+    """Flat-leaf npz persistence (treedef comes from the in-memory template
+    at load time — robust to dataclass/NamedTuple nesting)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def _load_pytree(path: Path, template):
+    import jax
+
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load_coco_dataset(images_dir: Path, annotations: Path):
     """-> list of (image_path, boxes_cxcywh_norm, labels)."""
     doc = json.loads(annotations.read_text())
@@ -64,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--max-targets", type=int, default=32)
     parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    parser.add_argument("--save-every", type=int, default=1,
+                        help="save a checkpoint every N epochs")
+    parser.add_argument("--resume-from", type=Path, default=None,
+                        help="resume training from a saved train_state.npz")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -105,15 +127,26 @@ def main(argv: list[str] | None = None) -> int:
     params = variables["params"]
 
     tx = make_optimizer(learning_rate=args.lr, backbone_lr=args.lr / 10)
+    state0 = TrainState.create(params, tx)
+    start_epoch = 0
+    if args.resume_from and args.resume_from.exists():
+        state0 = _load_pytree(args.resume_from, state0)
+        params = state0.params
+        meta = args.resume_from.parent / "train_state_meta.json"
+        if meta.exists():
+            start_epoch = json.loads(meta.read_text()).get("epoch", 0)
+        logger.info("resumed train state from %s (epoch %d)",
+                    args.resume_from, start_epoch)
+
     n_dev = jax.device_count()
     if n_dev > 1:
         mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
         step = make_sharded_train_step(model, tx, mesh, params)
-        state = step.shard_state(TrainState.create(params, tx))
+        state = step.shard_state(state0)
         shard_batch = step.shard_batch
     else:
         step = make_train_step(model, tx)
-        state = TrainState.create(params, tx)
+        state = state0
         shard_batch = lambda b: b  # noqa: E731
 
     target_hw = (args.height, args.width)
@@ -141,8 +174,15 @@ def main(argv: list[str] | None = None) -> int:
             "valid": valid,
         }
 
+    def save_state(epoch: int) -> None:
+        args.checkpoint.mkdir(parents=True, exist_ok=True)
+        _save_pytree(args.checkpoint / "train_state.npz", jax.device_get(state))
+        (args.checkpoint / "train_state_meta.json").write_text(
+            json.dumps({"epoch": epoch})
+        )
+
     steps_per_epoch = max(1, len(samples) // args.batch)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(samples))
         t0 = time.perf_counter()
         losses = []
@@ -160,15 +200,13 @@ def main(argv: list[str] | None = None) -> int:
             float(np.mean(losses)) if losses else float("nan"),
             time.perf_counter() - t0,
         )
-
-    import orbax.checkpoint as ocp
+        if (epoch + 1) % args.save_every == 0:
+            save_state(epoch + 1)
 
     args.checkpoint.mkdir(parents=True, exist_ok=True)
-    ckpt_dir = (args.checkpoint / "weights").resolve()
-    ocp.StandardCheckpointer().save(
-        ckpt_dir, {"params": jax.device_get(state.params)}, force=True
-    )
-    logger.info("saved checkpoint -> %s", ckpt_dir)
+    ckpt_path = args.checkpoint / "weights.npz"
+    _save_pytree(ckpt_path, {"params": jax.device_get(state.params)})
+    logger.info("saved checkpoint -> %s", ckpt_path)
     return 0
 
 
