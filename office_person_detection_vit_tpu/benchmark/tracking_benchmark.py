@@ -24,11 +24,33 @@ from .mot_metrics import (
 logger = logging.getLogger(__name__)
 
 
-def _renumber_sparse(ann: FrameAnnotations) -> FrameAnnotations:
-    """Collapse arbitrary frame numbers onto consecutive indices (sparse
-    5-minute sampling mode, reference :244-269)."""
-    mapping = {f: i + 1 for i, f in enumerate(sorted(ann))}
-    return {mapping[f]: v for f, v in ann.items()}
+def _renumber_sparse(
+    gt: FrameAnnotations, hyp: FrameAnnotations
+) -> tuple[FrameAnnotations, FrameAnnotations]:
+    """Collapse frame numbers onto consecutive indices (sparse 5-minute
+    sampling mode, reference :244-269).
+
+    Two numbering situations occur in practice:
+    * both sides already share a frame space (e.g. both in video frame
+      numbers) -> use ONE mapping over the union, so a frame missing on one
+      side stays missing instead of silently shifting alignment;
+    * disjoint spaces of equal length (GT in raw video frames, predictions
+      in 1..N sample indices) -> align by sorted order per side.
+    """
+    gt_frames, hyp_frames = set(gt), set(hyp)
+    if gt_frames & hyp_frames or len(gt_frames) != len(hyp_frames):
+        mapping = {f: i + 1 for i, f in enumerate(sorted(gt_frames | hyp_frames))}
+        return (
+            {mapping[f]: v for f, v in gt.items()},
+            {mapping[f]: v for f, v in hyp.items()},
+        )
+    logger.info(
+        "sparse mode: disjoint equal-length frame sets; aligning by order"
+    )
+    return (
+        {i + 1: gt[f] for i, f in enumerate(sorted(gt_frames))},
+        {i + 1: hyp[f] for i, f in enumerate(sorted(hyp_frames))},
+    )
 
 
 class TrackingBenchmark:
@@ -39,7 +61,7 @@ class TrackingBenchmark:
         self, gt: FrameAnnotations, hyp: FrameAnnotations
     ) -> MOTResult:
         if self.sparse:
-            gt, hyp = _renumber_sparse(gt), _renumber_sparse(hyp)
+            gt, hyp = _renumber_sparse(gt, hyp)
         return evaluate_mot(gt, hyp)
 
     def evaluate_from_files(

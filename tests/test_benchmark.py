@@ -250,3 +250,26 @@ class TestDetectionRunnerCLI:
         records = DetectionBenchmark.load_predictions(p)
         assert len(records) == 1
         assert records[0].bbox == (1.0, 2.0, 3.0, 4.0)
+
+
+class TestSparseAlignment:
+    def test_shared_frame_space_missing_frame_stays_missing(self):
+        from office_person_detection_vit_tpu.benchmark.tracking_benchmark import (
+            _renumber_sparse,
+        )
+
+        gt = {100: [(1, _box(10))], 200: [(1, _box(20))], 300: [(1, _box(30))]}
+        hyp = {100: [(9, _box(10))], 300: [(9, _box(30))]}  # missed frame 200
+        g2, h2 = _renumber_sparse(gt, hyp)
+        assert set(g2) == {1, 2, 3}
+        assert set(h2) == {1, 3}  # NOT shifted onto {1, 2}
+
+    def test_disjoint_equal_sets_align_by_order(self):
+        from office_person_detection_vit_tpu.benchmark.tracking_benchmark import (
+            _renumber_sparse,
+        )
+
+        gt = {9000: [(1, _box(10))], 18000: [(1, _box(20))]}
+        hyp = {1: [(9, _box(10))], 2: [(9, _box(20))]}
+        g2, h2 = _renumber_sparse(gt, hyp)
+        assert set(g2) == set(h2) == {1, 2}
