@@ -30,6 +30,7 @@ class DetectionPhase(BasePhase):
         super().__init__(config, logger)
         self.detector = detector
         self.save_images = bool(config.get("output.save_detection_images", False))
+        self.save_attention = bool(config.get("output.save_attention_maps", False))
         self.last_batch: DetectionBatch | None = None
         self.statistics: dict[str, Any] = {}
 
@@ -92,6 +93,21 @@ class DetectionPhase(BasePhase):
                     stem = ts if ts else f"{fr.frame_number:06d}"
                     save_detection_image(
                         frame, fr.detections, out / f"detection_{stem}.jpg"
+                    )
+            if self.save_attention:
+                # Decoder cross-attention overlays (reference attention-map
+                # contract, visualizer.py:148-265); None for conv detectors.
+                from ...visualization.visualizer import Visualizer
+
+                viz = Visualizer(self.config)
+                for fr, frame in zip(frame_results, frames):
+                    amap = self.detector.get_attention_map(frame)
+                    if amap is None:
+                        break
+                    ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
+                    stem = ts if ts else f"{fr.frame_number:06d}"
+                    viz.overlay_attention_map(
+                        frame, amap, output_path=out / f"attention_{stem}.jpg"
                     )
         self.log_statistics()
         return frame_results

@@ -241,3 +241,18 @@ class TestHybridTracking:
         assert tid is not None
         assert frs[1].detections[0].track_id == tid
         assert frs[2].detections[0].track_id == tid
+
+
+class TestAttentionMaps:
+    def test_detection_phase_saves_attention_overlays(self, tmp_path, video):
+        from office_person_detection_vit_tpu.pipeline.phases.detection import (
+            DetectionPhase,
+        )
+
+        cfg = _config(tmp_path, video, **{"output.save_attention_maps": True})
+        phase = DetectionPhase(cfg)
+        frames = [np.zeros((72, 96, 3), np.uint8)]
+        frs = [FrameResult(0, datetime(2025, 1, 20, 9, 0, 0))]
+        phase.execute(frames, frs, tmp_path / "det")
+        overlays = list((tmp_path / "det").glob("attention_*.jpg"))
+        assert len(overlays) == 1
