@@ -286,9 +286,16 @@ class PipelineOrchestrator:
                             frame_path=row.get("frame_path") or None,
                         )
                     )
+        # Prefer the Phase-3 artifact (has floor coords + zones); fall back
+        # to Phase 2's raw detections when transform hasn't run yet.
         transform_json = self._phase_dir("04_transform") / "coordinate_transformations.json"
+        detections_json = self._phase_dir("02_detection") / "detections.json"
+        doc = None
         if transform_json.exists() and self.checkpoints.is_completed("04_transform"):
             doc = json.loads(transform_json.read_text())
+        elif detections_json.exists() and self.checkpoints.is_completed("02_detection"):
+            doc = json.loads(detections_json.read_text())
+        if doc is not None:
             by_number = {fr.frame_number: fr for fr in self.frame_results}
             for fdoc in doc.get("frames", []):
                 num = fdoc.get("frame_number", fdoc.get("idx"))

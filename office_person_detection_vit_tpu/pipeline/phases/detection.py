@@ -87,6 +87,7 @@ class DetectionPhase(BasePhase):
         if output_dir is not None:
             out = Path(output_dir)
             self._export_statistics(out)
+            self._export_detections(out, frame_results)
             if self.save_images:
                 for fr, frame in zip(frame_results, frames):
                     ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
@@ -116,6 +117,27 @@ class DetectionPhase(BasePhase):
         output_dir.mkdir(parents=True, exist_ok=True)
         path = output_dir / "detection_statistics.json"
         path.write_text(json.dumps(self.statistics, indent=2), encoding="utf-8")
+        return path
+
+    def _export_detections(
+        self, output_dir: Path, frame_results: list[FrameResult]
+    ) -> Path:
+        """Raw per-frame detections artifact (detections.json) — this is
+        what checkpoint resume reloads when Phase 2 is complete but later
+        phases are not."""
+        output_dir.mkdir(parents=True, exist_ok=True)
+        doc = {
+            "frames": [
+                {
+                    "frame_number": fr.frame_number,
+                    "timestamp": fr.timestamp_str,
+                    "detections": [d.to_dict() for d in fr.detections],
+                }
+                for fr in frame_results
+            ]
+        }
+        path = output_dir / "detections.json"
+        path.write_text(json.dumps(doc), encoding="utf-8")
         return path
 
     def log_statistics(self) -> None:

@@ -256,3 +256,24 @@ class TestAttentionMaps:
         phase.execute(frames, frs, tmp_path / "det")
         overlays = list((tmp_path / "det").glob("attention_*.jpg"))
         assert len(overlays) == 1
+
+
+class TestPartialResume:
+    def test_resume_after_detection_only(self, video, tmp_path):
+        """Phase 2 done, later phases not: resumed run must keep detections."""
+        cfg = _config(tmp_path, video)
+        orch = PipelineOrchestrator(cfg)
+        orch.setup_output_directories()
+        orch.extract_frames()
+        orch.prepare_frames_for_detection()
+        orch.run_detection()
+        session = orch.output.session_dir
+        total_dets = sum(len(fr.detections) for fr in orch.frame_results)
+        assert (session / "02_detection" / "detections.json").exists()
+
+        orch2 = PipelineOrchestrator(cfg)
+        result = orch2.run(resume_session=session)
+        assert result["statistics"]["total_detections"] == total_dets
+        # Transform ran on the reloaded detections.
+        assert (session / "04_transform" / "coordinate_transformations.json").exists()
+        assert "02_detection" not in orch2.perf.summary()
