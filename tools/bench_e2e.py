@@ -1,0 +1,107 @@
+"""End-to-end pipeline benchmark: synthetic timelapse video -> full 5-phase
+run -> seconds/frame (the reference's end-to-end metric: 9.82 s/frame on
+MPS vs a 2.0 s/frame target, docs/baseline_verification_guide.md:100).
+
+Usage: python tools/bench_e2e.py [--frames 120] [--full-model]
+Prints one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+BASELINE_S_PER_FRAME = 9.82  # reference MPS end-to-end
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="end-to-end pipeline benchmark")
+    parser.add_argument("--frames", type=int, default=120,
+                        help="synthetic video length in frames")
+    parser.add_argument("--full-model", action="store_true",
+                        help="full DETR (default: full on TPU, tiny on CPU)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.pipeline.orchestrator import (
+        PipelineOrchestrator,
+    )
+    from tests.helpers.synthetic_video import write_video
+
+    on_tpu = jax.default_backend() == "tpu"
+    full = args.full_model or on_tpu
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        video = write_video(tmp / "v.mp4", num_frames=args.frames)
+        det_cfg = {
+            "confidence_threshold": 0.5,
+            "batch_size": 8,
+            "dtype": "bfloat16" if full else "float32",
+            "use_pallas_attention": on_tpu,
+        }
+        if not full:
+            det_cfg.update(model_size="tiny", input_height=96, input_width=128)
+        cfg = ConfigManager.from_dict(
+            {
+                "video": {
+                    "input_path": str(video),
+                    "fps": 30,
+                    "frame_interval_minutes": 5,
+                    "tolerance_seconds": 60,
+                    "time_compression_ratio": 313.0,
+                },
+                "detection": det_cfg,
+                "transform": {"method": "homography"},
+                "homography": {
+                    "matrix": [[1.2, 0.05, 10.0], [0.02, 1.1, 5.0], [1e-5, 2e-5, 1.0]]
+                },
+                "zones": [
+                    {"id": "zone_a", "name": "A",
+                     "polygon": [[0, 0], [800, 0], [800, 800], [0, 800]]},
+                    {"id": "zone_b", "name": "B",
+                     "polygon": [[800, 0], [1600, 0], [1600, 800], [800, 800]]},
+                ],
+                "output": {"directory": str(tmp / "out"),
+                           "save_floormap_images": True},
+                "timestamp": {
+                    "extraction_mode": "auto_targets",
+                    "auto_targets": {"max_frames": args.frames,
+                                     "disable_validation": True},
+                    "sampling": {"coarse_interval_seconds": 0.5},
+                    "extraction": {"confidence_threshold": 0.3},
+                },
+            }
+        )
+        orch = PipelineOrchestrator(cfg)
+        t0 = time.perf_counter()
+        orch.run()
+        elapsed = time.perf_counter() - t0
+        nframes = max(len(orch.frame_results), 1)
+        s_per_frame = elapsed / nframes
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_e2e_seconds_per_frame",
+                "value": round(s_per_frame, 3),
+                "unit": "s/frame",
+                "frames": nframes,
+                "total_seconds": round(elapsed, 2),
+                "vs_baseline": round(BASELINE_S_PER_FRAME / s_per_frame, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
