@@ -35,9 +35,15 @@ from .phases.visualization import VisualizationPhase
 
 
 class PipelineOrchestrator:
-    def __init__(self, config: Any, logger: logging.Logger | None = None):
+    def __init__(
+        self,
+        config: Any,
+        logger: logging.Logger | None = None,
+        detector: Any = None,
+    ):
         self.config = config
         self.logger = logger or logging.getLogger(__name__)
+        self.detector_override = detector  # pre-loaded detector (warm jits)
         self.output = OutputService(config.get("output.directory", "output"))
         self.checkpoints: CheckpointService | None = None
         self.perf = PerformanceService(
@@ -169,7 +175,9 @@ class PipelineOrchestrator:
     def run_detection(self) -> list[FrameResult]:
         """(reference orchestrator.py:204-231)"""
         out_dir = self._phase_dir("02_detection")
-        self.detection_phase = DetectionPhase(self.config, self.logger)
+        self.detection_phase = DetectionPhase(
+            self.config, self.logger, detector=self.detector_override
+        )
         with self.perf.measure("02_detection"):
             self.detection_phase.execute(self.frames, self.frame_results, out_dir)
         self.checkpoints.save(
