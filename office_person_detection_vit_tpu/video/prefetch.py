@@ -29,30 +29,44 @@ class PrefetchLoader:
     def __init__(
         self,
         frame_numbers: Sequence[int],
-        fetch_fn: Callable[[int], np.ndarray | None],
+        fetch_fn: Callable[[int], np.ndarray | None] | None = None,
         batch_size: int = 4,
         depth: int = 3,
+        iter_fn: Callable[[Sequence[int]], "Iterator[tuple[int, np.ndarray]]"] | None = None,
     ):
-        """fetch_fn(frame_number) -> HxWx3 uint8 frame (host decode)."""
+        """Either ``fetch_fn(frame_number) -> frame`` (random access) or
+        ``iter_fn(frame_numbers) -> iter of (frame_number, frame)``
+        (sequential strided decode, e.g. VideoProcessor.iter_frames — much
+        faster for ascending scans)."""
+        if (fetch_fn is None) == (iter_fn is None):
+            raise ValueError("provide exactly one of fetch_fn / iter_fn")
         self.frame_numbers = list(frame_numbers)
         self.fetch_fn = fetch_fn
+        self.iter_fn = iter_fn
         self.batch_size = int(batch_size)
         self.queue: queue.Queue = queue.Queue(maxsize=depth)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 
     # ------------------------------------------------------------- producer
+    def _pairs(self):
+        if self.iter_fn is not None:
+            yield from self.iter_fn(self.frame_numbers)
+            return
+        for fn in self.frame_numbers:
+            frame = self.fetch_fn(fn)
+            if frame is None:
+                logger.warning("frame %d failed to decode; skipping", fn)
+                continue
+            yield fn, frame
+
     def _producer(self) -> None:
         batch_frames: list[np.ndarray] = []
         batch_numbers: list[int] = []
         try:
-            for fn in self.frame_numbers:
+            for fn, frame in self._pairs():
                 if self._stop.is_set():
                     break
-                frame = self.fetch_fn(fn)
-                if frame is None:
-                    logger.warning("frame %d failed to decode; skipping", fn)
-                    continue
                 batch_frames.append(frame)
                 batch_numbers.append(fn)
                 if len(batch_frames) == self.batch_size:

@@ -78,6 +78,29 @@ class VideoProcessor:
         ok, frame = self.cap.read()
         return frame if ok else None
 
+    def iter_frames(self, frame_numbers):
+        """Sequential strided decode: yields (frame_number, frame) for a
+        SORTED ascending frame list using grab() to skip — ~10x faster than
+        per-frame CAP_PROP_POS_FRAMES seeks for coarse-scan strides."""
+        if self.cap is None:
+            self.open()
+        import cv2
+
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        pos = 0
+        for fn in frame_numbers:
+            if fn < pos:
+                raise ValueError("iter_frames requires ascending frame numbers")
+            while pos < fn:
+                if not self.cap.grab():
+                    return
+                pos += 1
+            ok, frame = self.cap.read()
+            pos += 1
+            if not ok:
+                return
+            yield fn, frame
+
     @property
     def duration_seconds(self) -> float:
         return self.frame_count / self.fps if self.fps else 0.0

@@ -93,3 +93,51 @@ def test_prefetch_loader_skips_bad_frames():
     loader = PrefetchLoader([4, 5, 6], fetch, batch_size=2)
     nums = [n for ns, _ in loader for n in ns]
     assert nums == [4, 6]
+
+
+class TestStridedIteration:
+    def test_iter_frames_matches_random_access(self, tmp_path):
+        from tests.helpers.synthetic_video import write_video
+        from office_person_detection_vit_tpu.video.video_processor import VideoProcessor
+
+        path = write_video(tmp_path / "v.mp4", num_frames=30)
+        vp = VideoProcessor(path)
+        vp.open()
+        wanted = [0, 7, 14, 28]
+        seq = dict(vp.iter_frames(wanted))
+        assert sorted(seq) == wanted
+        for fn in wanted:
+            direct = vp.get_frame(fn)
+            assert np.array_equal(seq[fn], direct)
+        vp.release()
+
+    def test_iter_frames_rejects_descending(self, tmp_path):
+        from tests.helpers.synthetic_video import write_video
+        from office_person_detection_vit_tpu.video.video_processor import VideoProcessor
+
+        path = write_video(tmp_path / "v2.mp4", num_frames=10)
+        vp = VideoProcessor(path)
+        vp.open()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            list(vp.iter_frames([5, 2]))
+        vp.release()
+
+    def test_prefetch_with_iter_fn(self, tmp_path):
+        from tests.helpers.synthetic_video import write_video
+        from office_person_detection_vit_tpu.video.prefetch import PrefetchLoader
+        from office_person_detection_vit_tpu.video.video_processor import VideoProcessor
+
+        path = write_video(tmp_path / "v3.mp4", num_frames=20)
+        vp = VideoProcessor(path)
+        vp.open()
+        loader = PrefetchLoader(
+            list(range(0, 20, 4)), iter_fn=vp.iter_frames, batch_size=3
+        )
+        got = []
+        for numbers, stack in loader:
+            assert stack.shape[0] == len(numbers)
+            got.extend(numbers)
+        assert got == [0, 4, 8, 12, 16]
+        vp.release()
