@@ -20,6 +20,10 @@ BASELINE_FPS = 4 / 2.92  # reference MPS detection throughput
 def main() -> None:
     import jax
 
+    from office_person_detection_vit_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from office_person_detection_vit_tpu.config.config_manager import ConfigManager
     from office_person_detection_vit_tpu.detection.detector import DETRDetector
 

@@ -22,6 +22,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv: list[str] | None = None) -> int:
+    from office_person_detection_vit_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_arguments(argv)
     setup_logging(debug=args.debug)
     orchestrator = None

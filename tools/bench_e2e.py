@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     import jax
 
     from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from office_person_detection_vit_tpu.pipeline.orchestrator import (
         PipelineOrchestrator,
     )
