@@ -340,3 +340,24 @@ class TestArtifactValidator:
         errors = validate_session(s, schemas)
         assert any("summary.json" in e and "INVALID" in e for e in errors)
         assert any("MISSING" in e for e in errors)
+
+
+class TestHTMLReport:
+    def test_renders_from_session(self, tmp_path):
+        from tools.report_html import render
+
+        # reuse the dashboard loader fixture structure
+        s = TestDashboardLoader()._make_session(tmp_path)
+        html_text = render(s)
+        assert "Session 20260101_120000" in html_text
+        assert "zone_a" in html_text          # chart legend
+        assert "01_extraction" in html_text   # phase table
+        assert "<svg" in html_text
+
+    def test_cli(self, tmp_path, capsys):
+        from tools.report_html import main
+
+        s = TestDashboardLoader()._make_session(tmp_path)
+        rc = main(["--session", str(s)])
+        assert rc == 0
+        assert (s / "report.html").exists()
