@@ -53,7 +53,7 @@ def main() -> None:
     # Best of repeated timed windows (timeit rationale): the device link is
     # shared and bursty, and contention is strictly additive noise — the
     # fastest window is the sustainable per-chip throughput.
-    iters, windows = 5, 5
+    iters, windows = 5, 8
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
