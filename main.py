@@ -36,6 +36,23 @@ def main(argv: list[str] | None = None) -> int:
         # Re-point the file log into the output dir (reference main.py:53-55).
         setup_logging(debug=args.debug, output_dir=config.get("output.directory", "output"))
 
+        if args.fine_tune:
+            # Detector fine-tuning (reference --fine-tune path, main.py:20-136;
+            # training config under training.* keys).
+            from tools.train_detr import main as train_main
+
+            train_args = [
+                "--images", str(config.get("training.images_dir", "data/train/images")),
+                "--annotations", str(config.get("training.annotations", "data/train/coco.json")),
+                "--epochs", str(config.get("training.epochs", 10)),
+                "--batch", str(config.get("training.batch_size", 8)),
+                "--checkpoint", str(config.get("training.output_dir", "runs/detr_ft")),
+            ]
+            init = config.get("detection.checkpoint_path", None)
+            if init:
+                train_args += ["--init", str(init)]
+            return train_main(train_args)
+
         orchestrator = PipelineOrchestrator(config, logging.getLogger("pipeline"))
         start, end = orchestrator.parse_datetime_range(args.start_time, args.end_time)
 

@@ -112,3 +112,52 @@ def test_evaluate_flag_runs_evaluation(tmp_path):
     assert report.exists()
     metrics = json.loads(report.read_text())
     assert metrics["true_positives"] == 0
+
+
+def test_fine_tune_flag_runs_training(tmp_path):
+    """--fine-tune dispatches to the training tool using training.* config."""
+    import cv2
+    import numpy as np
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"i{i}.jpg"),
+                    np.random.default_rng(i).integers(0, 255, (120, 160, 3), np.uint8))
+    coco = {
+        "images": [{"id": i, "file_name": f"i{i}.jpg", "width": 160, "height": 120}
+                   for i in range(2)],
+        "annotations": [{"id": i, "image_id": i, "bbox": [20, 30, 40, 60],
+                         "category_id": 1} for i in range(2)],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    (tmp_path / "coco.json").write_text(json.dumps(coco))
+
+    video = write_video(tmp_path / "v.mp4", num_frames=10)
+    cfg_path = _write_config(tmp_path, video)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["training"] = {
+        "images_dir": str(img_dir),
+        "annotations": str(tmp_path / "coco.json"),
+        "epochs": 1,
+        "batch_size": 2,
+        "output_dir": str(tmp_path / "run"),
+    }
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # Note: --fine-tune currently trains the full-size model config unless
+    # the training tool's --tiny is used; patch argv to keep the test small.
+    import tools.train_detr as td
+
+    orig = td.main
+
+    def small_main(argv):
+        return orig(argv + ["--tiny", "--height", "96", "--width", "128"])
+
+    td.main = small_main
+    try:
+        rc = main(["--config", str(cfg_path), "--fine-tune"])
+    finally:
+        td.main = orig
+    assert rc == 0
+    assert (tmp_path / "run" / "weights.npz").exists()

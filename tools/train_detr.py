@@ -139,12 +139,18 @@ def main(argv: list[str] | None = None) -> int:
                     args.resume_from, start_epoch)
 
     n_dev = jax.device_count()
-    if n_dev > 1:
+    data_parallel = n_dev // args.model_parallel
+    if n_dev > 1 and args.batch % max(data_parallel, 1) == 0:
         mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
         step = make_sharded_train_step(model, tx, mesh, params)
         state = step.shard_state(state0)
         shard_batch = step.shard_batch
     else:
+        if n_dev > 1:
+            logger.warning(
+                "batch %d not divisible by data axis %d; single-device step",
+                args.batch, data_parallel,
+            )
         step = make_train_step(model, tx)
         state = state0
         shard_batch = lambda b: b  # noqa: E731
