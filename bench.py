@@ -50,7 +50,7 @@ def main() -> None:
     detector.detect_batch(frames)
     detector.detect_batch(frames)
 
-    # Best of repeated timed windows (timeit rationale): the device link is
+    # Best of 8 repeated timed windows (timeit rationale): the device link is
     # shared and bursty, and contention is strictly additive noise — the
     # fastest window is the sustainable per-chip throughput.
     iters, windows = 5, 8

@@ -62,24 +62,29 @@ class BenchmarkResult:
         }
 
 
-def _match_image(
-    preds: list[DetectionRecord],
-    gt_boxes: np.ndarray,
-    iou_threshold: float,
+def _image_iou(
+    preds: list[DetectionRecord], gt_boxes: np.ndarray
 ) -> np.ndarray:
-    """Score-ordered greedy matching; returns bool TP flag per pred
-    (preds must already be sorted by descending score)."""
-    P = len(preds)
-    tp_flags = np.zeros(P, bool)
-    if P == 0 or len(gt_boxes) == 0:
-        return tp_flags
-    iou = np.asarray(
+    """(P, G) IoU matrix for one image — computed ONCE and reused across
+    all ten AP thresholds (the matrix does not depend on the threshold)."""
+    if len(preds) == 0 or len(gt_boxes) == 0:
+        return np.zeros((len(preds), len(gt_boxes)), np.float32)
+    return np.asarray(
         iou_matrix_xywh(
             np.asarray([p.bbox for p in preds], np.float32),
             gt_boxes.astype(np.float32),
         )
     )
-    taken = np.zeros(len(gt_boxes), bool)
+
+
+def _match_image(iou: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Score-ordered greedy matching over a precomputed IoU matrix; returns
+    bool TP flag per pred (rows must be sorted by descending score)."""
+    P, G = iou.shape
+    tp_flags = np.zeros(P, bool)
+    if P == 0 or G == 0:
+        return tp_flags
+    taken = np.zeros(G, bool)
     for i in range(P):
         order = np.argsort(-iou[i])
         for g in order:
@@ -174,8 +179,9 @@ class DetectionBenchmark:
         for name, gt_boxes in ground_truth.items():
             plist = preds_by_image.get(name, [])
             all_scores.extend(p.score for p in plist)
+            iou = _image_iou(plist, gt_boxes)
             for t in IOU_GRID:
-                flags_at[t].append(_match_image(plist, gt_boxes, float(t)))
+                flags_at[t].append(_match_image(iou, float(t)))
             f50 = flags_at[0.5][-1]
             itp = int(f50.sum())
             tp += itp

@@ -140,14 +140,26 @@ def evaluate_mot(gt: FrameAnnotations, hyp: FrameAnnotations) -> MOTResult:
     total_hyp = sum(hyp_frames.values())
     idtp = 0
     if gids and hids:
-        # Cost = unmatched frames for the pair; LAP over the padded square.
-        cost = np.zeros((len(gids), len(hids)))
+        # Ristani padded-square construction: leaving a trajectory unmatched
+        # must be an explicit option (cost = its full frame count), otherwise
+        # the LAP prefers pairing a GT with a short barely-overlapping hyp
+        # just because that hyp has few frames. Square size (G+H):
+        #   [ pair cost (fn+fp) | gt-unmatched diag (gt frames) ]
+        #   [ hyp-unmatched diag (hyp frames) | zeros            ]
+        G, Hn = len(gids), len(hids)
+        big = np.full((G + Hn, G + Hn), np.inf)
         for i, gid in enumerate(gids):
             for j, hid in enumerate(hids):
                 ov = pair_overlap.get((gid, hid), 0)
-                cost[i, j] = (gt_frames[gid] - ov) + (hyp_frames[hid] - ov)
-        for r, c in solve_lap(cost):
-            idtp += pair_overlap.get((gids[r], hids[c]), 0)
+                big[i, j] = (gt_frames[gid] - ov) + (hyp_frames[hid] - ov)
+        for i, gid in enumerate(gids):
+            big[i, Hn + i] = gt_frames[gid]
+        for j, hid in enumerate(hids):
+            big[G + j, j] = hyp_frames[hid]
+        big[G:, Hn:] = 0.0
+        for r, c in solve_lap(big):
+            if r < G and c < Hn:
+                idtp += pair_overlap.get((gids[r], hids[c]), 0)
     idp = idtp / total_hyp if total_hyp else 0.0
     idr = idtp / total_gt if total_gt else 0.0
     idf1 = 2 * idtp / (total_gt + total_hyp) if (total_gt + total_hyp) else 0.0

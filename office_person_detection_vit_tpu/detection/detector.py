@@ -158,7 +158,15 @@ class DETRDetector:
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
         if self.transfer_format == "i420":
-            frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
+            if H % 4 or W % 2:
+                logger.warning(
+                    "i420 transfer unsupported for %dx%d (H%%4/W%%2); using bgr",
+                    H, W,
+                )
+                self.transfer_format = "bgr"
+                self._build_jits()
+            else:
+                frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
         orig_wh = jnp.asarray([W, H], jnp.float32)
         t0 = time.perf_counter()
         chunks = []

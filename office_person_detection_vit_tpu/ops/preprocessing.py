@@ -74,10 +74,21 @@ def valid_fraction(src_hw: tuple[int, int], target_hw: tuple[int, int]) -> tuple
 
 
 def bgr_to_i420(frames) -> "np.ndarray":
-    """Host-side: (F, H, W, 3) uint8 BGR -> (F, H*3//2, W) uint8 I420."""
+    """Host-side: (F, H, W, 3) uint8 BGR -> (F, H*3//2, W) uint8 I420.
+
+    Requires H % 4 == 0 and W % 2 == 0 — the device-side de-interleave
+    reshapes the chroma block as (2, H//4, W) (cv2's I420 itself only needs
+    even H, but an odd half-height chroma block can't be split that way).
+    """
     import cv2
     import numpy as np
 
+    H, W = frames.shape[1:3]
+    if H % 4 or W % 2:
+        raise ValueError(
+            f"i420 transfer needs H%4==0 and W%2==0, got {H}x{W}; "
+            "use detection.transfer_format=bgr for this input"
+        )
     return np.stack(
         [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in frames]
     )

@@ -329,6 +329,14 @@ class PipelineOrchestrator:
         if done("01_extraction"):
             self.logger.info("phase 1 already complete; reloading artifacts")
             self.reload_phase_artifacts()
+            if start_time or end_time:
+                # The resumed artifact holds the full extraction; apply the
+                # requested analysis window just like a fresh run would.
+                self.frame_results = [
+                    fr for fr in self.frame_results
+                    if (start_time is None or fr.timestamp >= start_time)
+                    and (end_time is None or fr.timestamp <= end_time)
+                ]
         else:
             self.extract_frames(start_time, end_time)
         if timestamps_only:

@@ -94,12 +94,11 @@ class TrackingPhase(BasePhase):
                 # detection frames associate greedily; detection-less frames
                 # interpolate via optical flow / Kalman.
                 if dets:
-                    tracks = self.light_tracker.update_with_detections(
+                    # update_with_detections assigns det.track_id in place
+                    # for matched and newly initiated tracks.
+                    self.light_tracker.update_with_detections(
                         dets, frame, timestamp
                     )
-                    by_bbox = {tuple(t.bbox): t.track_id for t in tracks}
-                    for d in dets:
-                        d.track_id = by_bbox.get(tuple(d.bbox), d.track_id)
                 else:
                     from ...core.dto import Detection as _Det
 

@@ -126,6 +126,7 @@ class LightweightTracker:
             t.hits += 1
             t.trajectory.append((timestamp, t.bbox))
             t.interpolated = False
+            det.track_id = t.track_id
 
         for i, t in enumerate(self.tracks):
             if i not in matched_t:
@@ -133,6 +134,7 @@ class LightweightTracker:
         for j, det in enumerate(detections):
             if j not in matched_d:
                 self.tracks.append(_LightTrack(self._next_id, det, timestamp))
+                det.track_id = self._next_id
                 self._next_id += 1
 
         self.tracks = [t for t in self.tracks if t.time_since_update <= self.max_age]

@@ -57,12 +57,14 @@ def detr_loss(
     # ---------------------------------------------------------- class loss
     no_object = config.num_classes
     # Scatter matched target labels onto the (B, Q) query-label canvas.
+    # Padded target slots scatter to the out-of-range index Q so mode="drop"
+    # discards them — mapping them to 0 would clobber a real label matched
+    # to query 0 (duplicate-index scatter, last writer wins).
     classes = jnp.full((B, Q), no_object, jnp.int32)
     b_idx = jnp.arange(B)[:, None].repeat(T, axis=1)  # (B, T)
-    safe_q = jnp.where(tgt_valid, match, 0)
-    classes = classes.at[b_idx, safe_q].set(
-        jnp.where(tgt_valid, tgt_labels, no_object), mode="drop"
-    )
+    scatter_q = jnp.where(tgt_valid, match, Q)
+    classes = classes.at[b_idx, scatter_q].set(tgt_labels, mode="drop")
+    safe_q = jnp.where(tgt_valid, match, 0)  # for box gathers only
     log_probs = jax.nn.log_softmax(logits, axis=-1)  # (B, Q, C+1)
     nll = -jnp.take_along_axis(log_probs, classes[..., None], axis=-1)[..., 0]
     weights = jnp.where(classes == no_object, config.eos_coef, 1.0)

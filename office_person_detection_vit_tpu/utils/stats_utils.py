@@ -38,6 +38,15 @@ def _batch_stats(scores: jax.Array, valid: jax.Array) -> dict[str, jax.Array]:
 
 def calculate_detection_statistics(batch: DetectionBatch) -> dict[str, Any]:
     """One jitted reduction over (F, Q) -> host dict for detection_statistics.json."""
+    if batch.num_frames == 0:
+        return {
+            "total_frames": 0,
+            "total_detections": 0,
+            "avg_detections_per_frame": 0.0,
+            "max_detections_per_frame": 0,
+            "min_detections_per_frame": 0,
+            "confidence": {"mean": 0.0, "std": 0.0, "min": 0.0, "max": 0.0},
+        }
     stats = jax.device_get(_batch_stats(jnp.asarray(batch.scores), jnp.asarray(batch.valid)))
     total = int(stats["total"])
     out = {

@@ -273,3 +273,20 @@ class TestSparseAlignment:
         hyp = {1: [(9, _box(10))], 2: [(9, _box(20))]}
         g2, h2 = _renumber_sparse(gt, hyp)
         assert set(g2) == set(h2) == {1, 2}
+
+
+class TestIDF1PaddedSquare:
+    def test_prefers_high_overlap_hypothesis(self):
+        """Ristani construction: GT must match the 5-frame-overlap hyp (10
+        frames total), not the 4-frame-overlap hyp (4 frames total)."""
+        gt = {f: [(1, _box(100))] for f in range(1, 11)}
+        hyp = {}
+        for f in range(1, 6):  # hyp A overlaps frames 1-5
+            hyp.setdefault(f, []).append((77, _box(100)))
+        for f in range(6, 11):  # hyp A present but far away frames 6-10
+            hyp.setdefault(f, []).append((77, _box(900)))
+        for f in range(1, 5):  # hyp B overlaps frames 1-4 only
+            hyp.setdefault(f, []).append((88, _box(100, y=104)))
+        r = evaluate_mot(gt, hyp)
+        # IDTP=5 via hyp A: IDF1 = 2*5 / (10 + 14) = 0.4166...
+        assert r.idf1 == pytest.approx(2 * 5 / 24, abs=1e-6)

@@ -289,3 +289,24 @@ class TestSSDCriterion:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
         assert float(metrics["num_pos"]) >= 1
+
+
+class TestCriterionScatterFix:
+    def test_padded_slot_does_not_clobber_query0(self):
+        """A padded target slot must not overwrite a real label matched to
+        query 0 (regression: scatter with safe_q=0 for invalid slots)."""
+        C, Q = 4, 4
+        # One real target crafted so the matcher picks query 0, one padded.
+        logits = jnp.full((1, Q, C + 1), -5.0).at[0, 0, 2].set(8.0)
+        boxes = jnp.tile(jnp.asarray([[[0.5, 0.5, 0.2, 0.2]]]), (1, Q, 1))
+        boxes = boxes.at[0, 0].set(jnp.asarray([0.3, 0.3, 0.2, 0.2]))
+        labels = jnp.asarray([[2, 0]])
+        tboxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0, 0, 0, 0]]], jnp.float32)
+        valid = jnp.asarray([[True, False]])
+        _, metrics = detr_loss(
+            logits, boxes, labels, tboxes, valid, CriterionConfig(num_classes=C)
+        )
+        # Query 0 predicts class 2 with logit 8; if its target label survived
+        # the scatter, the class loss is tiny. If it was clobbered to
+        # no-object, the loss would be ~13 (CE of -8 margin).
+        assert float(metrics["loss_class"]) < 1.0

@@ -187,3 +187,19 @@ class TestLogging:
         assert (
             len([h for h in logger.handlers]) == 1
         )
+
+
+def test_empty_batch_statistics():
+    """Regression: zero-frame DetectionBatch must not raise."""
+    from office_person_detection_vit_tpu.core.dto import DetectionBatch
+    import numpy as np
+
+    batch = DetectionBatch(
+        boxes_xywh=np.zeros((0, 1, 4), np.float32),
+        scores=np.zeros((0, 1), np.float32),
+        valid=np.zeros((0, 1), bool),
+        foot=np.zeros((0, 1, 2), np.float32),
+    )
+    stats = calculate_detection_statistics(batch)
+    assert stats["total_detections"] == 0
+    assert stats["total_frames"] == 0

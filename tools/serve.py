@@ -69,20 +69,27 @@ class MicroBatcher:
                     batch.append(self.queue.get(timeout=timeout))
                 except queue.Empty:
                     break
-            try:
-                frames = np.stack([b[0] for b in batch])
-                results = self.detector.detect_batch(frames).to_frame_results()
-                for (f, slot_i, done_i), fr in zip(batch, results):
-                    slot_i["detections"] = [d.to_dict() for d in fr.detections]
-                    done_i.set()
-                self.stats["requests"] += len(batch)
-                self.stats["batches"] += 1
-                self.stats["frames"] += len(batch)
-            except Exception as e:  # pragma: no cover - defensive
-                logger.exception("batch failed")
-                for _, slot_i, done_i in batch:
-                    slot_i["error"] = str(e)
-                    done_i.set()
+            # Group by resolution: clients may post different sizes, and one
+            # compiled program exists per (H, W) — mixing shapes would both
+            # break np.stack and trigger recompiles mid-batch.
+            by_shape: dict[tuple, list] = {}
+            for item in batch:
+                by_shape.setdefault(item[0].shape, []).append(item)
+            for group in by_shape.values():
+                try:
+                    frames = np.stack([g[0] for g in group])
+                    results = self.detector.detect_batch(frames).to_frame_results()
+                    for (f, slot_i, done_i), fr in zip(group, results):
+                        slot_i["detections"] = [d.to_dict() for d in fr.detections]
+                        done_i.set()
+                    self.stats["requests"] += len(group)
+                    self.stats["batches"] += 1
+                    self.stats["frames"] += len(group)
+                except Exception as e:  # pragma: no cover - defensive
+                    logger.exception("batch failed")
+                    for _, slot_i, done_i in group:
+                        slot_i["error"] = str(e)
+                        done_i.set()
 
 
 def make_handler(batcher: MicroBatcher, model_info: dict):
