@@ -296,6 +296,42 @@ def attention_pallas_flash(
 _FLASH_BYTES_THRESHOLD = 8 * 1024 * 1024
 
 
+def _pallas_dispatch(q, k, v, key_padding_mask, interpret):
+    Lq_p = _round_up(q.shape[2], 128)
+    Lk_p = _round_up(k.shape[2], 128)
+    if Lq_p * Lk_p * 4 > _FLASH_BYTES_THRESHOLD:
+        return attention_pallas_flash(q, k, v, key_padding_mask, interpret=interpret)
+    return attention_pallas(q, k, v, key_padding_mask, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_pallas_diff(q, k, v, key_padding_mask, interpret=False):
+    """Differentiable wrapper: Pallas kernel forward, einsum-recompute
+    backward (guide 'Custom VJP' pattern). pallas_call has no autodiff
+    rule, so training through the fused kernel needs this; the backward
+    recomputes attention with the reference path and differentiates it —
+    a flash-style fused backward kernel is a drop-in upgrade later."""
+    return _pallas_dispatch(q, k, v, key_padding_mask, interpret)
+
+
+def _attn_fwd(q, k, v, key_padding_mask, interpret):
+    return _pallas_dispatch(q, k, v, key_padding_mask, interpret), (
+        q, k, v, key_padding_mask,
+    )
+
+
+def _attn_bwd(interpret, residuals, g):
+    q, k, v, key_padding_mask = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: attention_reference(q, k, v, key_padding_mask), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_pallas_diff.defvjp(_attn_fwd, _attn_bwd)
+
+
 def multi_head_attention(
     q: Array,
     k: Array,
@@ -306,13 +342,8 @@ def multi_head_attention(
     interpret: bool = False,
 ) -> Array:
     """Dispatch: einsum reference, whole-KV fused kernel (DETR-sized
-    sequences), or flash streaming kernel (long sequences)."""
+    sequences), or flash streaming kernel (long sequences). The Pallas
+    paths are differentiable via a custom VJP."""
     if use_pallas:
-        Lq_p = _round_up(q.shape[2], 128)
-        Lk_p = _round_up(k.shape[2], 128)
-        if Lq_p * Lk_p * 4 > _FLASH_BYTES_THRESHOLD:
-            return attention_pallas_flash(
-                q, k, v, key_padding_mask, interpret=interpret
-            )
-        return attention_pallas(q, k, v, key_padding_mask, interpret=interpret)
+        return _attention_pallas_diff(q, k, v, key_padding_mask, interpret)
     return attention_reference(q, k, v, key_padding_mask)
