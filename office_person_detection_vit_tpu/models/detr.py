@@ -40,6 +40,9 @@ class DETRConfig:
     backbone_embedding: int = 64
     dtype: str = "float32"
     use_pallas_attention: bool = False
+    #: rematerialize transformer layers under grad (jax.checkpoint) — trades
+    #: ~1 extra forward of FLOPs for not storing per-layer activations.
+    remat: bool = False
     person_class_id: int = 1  # COCO "person"
 
     @property
@@ -120,7 +123,8 @@ class DETR(nn.Module):
 
         memory = Encoder(
             cfg.d_model, cfg.num_heads, cfg.ffn_dim, cfg.num_encoder_layers,
-            cfg.dropout, dtype, cfg.use_pallas_attention, name="encoder",
+            cfg.dropout, dtype, cfg.use_pallas_attention, remat=cfg.remat,
+            name="encoder",
         )(src, pos_flat, key_mask, deterministic)
 
         query_embed = self.param(
@@ -135,7 +139,7 @@ class DETR(nn.Module):
         hs = Decoder(
             cfg.d_model, cfg.num_heads, cfg.ffn_dim, cfg.num_decoder_layers,
             cfg.dropout, dtype, cfg.use_pallas_attention, sow_attn=self.sow_attn,
-            name="decoder",
+            remat=cfg.remat, name="decoder",
         )(tgt, query_pos, memory, pos_flat, key_mask, deterministic)
         # hs: (L, B, Q, C)
 

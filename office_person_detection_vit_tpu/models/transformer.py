@@ -137,11 +137,16 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # rematerialize per layer: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask, deterministic: bool = True):
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4,))
+            if self.remat else EncoderLayer
+        )
         for i in range(self.num_layers):
-            src = EncoderLayer(
+            src = layer_cls(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
                 self.dtype, self.use_pallas, name=f"layer_{i}",
             )(src, pos, key_padding_mask, deterministic)
@@ -157,15 +162,20 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     sow_attn: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, tgt, query_pos, memory, memory_pos, memory_key_padding_mask,
         deterministic: bool = True,
     ):
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(6,))
+            if self.remat else DecoderLayer
+        )
         intermediate = []
         for i in range(self.num_layers):
-            tgt = DecoderLayer(
+            tgt = layer_cls(
                 self.d_model, self.num_heads, self.ffn_dim, self.dropout,
                 self.dtype, self.use_pallas, sow_attn=self.sow_attn, name=f"layer_{i}",
             )(tgt, query_pos, memory, memory_pos, memory_key_padding_mask, deterministic)

@@ -310,3 +310,21 @@ class TestCriterionScatterFix:
         # the scatter, the class loss is tiny. If it was clobbered to
         # no-object, the loss would be ~13 (CE of -8 margin).
         assert float(metrics["loss_class"]) < 1.0
+
+
+class TestRemat:
+    def test_remat_training_matches_no_remat(self):
+        """jax.checkpoint'd layers give identical losses (just less memory)."""
+        from office_person_detection_vit_tpu.models.detr import DETRConfig, init_detr
+
+        results = []
+        for remat in (False, True):
+            cfg = DETRConfig.tiny(num_classes=4, remat=remat)
+            model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+            tx = make_optimizer(learning_rate=1e-3)
+            state = TrainState.create(variables["params"], tx)
+            step = make_train_step(model, tx, aux_loss=False)
+            batch = _batch(B=2)
+            state, metrics = step(state, batch, jax.random.PRNGKey(7))
+            results.append(float(metrics["loss"]))
+        assert results[0] == pytest.approx(results[1], rel=1e-5)
