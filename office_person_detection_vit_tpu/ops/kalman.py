@@ -91,7 +91,15 @@ def kf_update(state: KFState, z: Array, meas_noise: float = DEFAULT_MEASUREMENT_
 
 # Vectorized forms over a track table: states stacked on leading axis.
 kf_predict_batch = jax.jit(jax.vmap(kf_predict, in_axes=(KFState(0, 0), 0)))
-kf_update_batch = jax.jit(jax.vmap(kf_update, in_axes=(KFState(0, 0), 0, None)), static_argnums=2)
+_kf_update_batch_vmapped = jax.jit(
+    jax.vmap(kf_update, in_axes=(KFState(0, 0), 0, None)), static_argnums=2
+)
+
+
+def kf_update_batch(states, zs, meas_noise: float = DEFAULT_MEASUREMENT_NOISE):
+    """Batched update; wrapper makes the documented default reachable (a bare
+    vmap with 3 in_axes rejects 2-arg calls)."""
+    return _kf_update_batch_vmapped(states, zs, meas_noise)
 
 
 def kf_position(state: KFState) -> Array:

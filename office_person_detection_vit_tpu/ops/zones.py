@@ -108,6 +108,8 @@ def classify_priority(membership: Array, priorities: Array) -> Array:
     Priority mode: the member zone with the smallest priority value wins
     (reference zone_classifier.py:136-146).
     """
+    if membership.shape[-1] == 0:  # no zones configured
+        return jnp.full(membership.shape[:-1], -1, jnp.int32)
     big = jnp.int32(2**30)
     eff = jnp.where(membership, priorities[None, :], big)
     best = jnp.argmin(eff, axis=-1)

@@ -83,10 +83,17 @@ class TimestampExtractorV2:
         ts = self.parser.fuzzy_parse(text) if text else None
         attempts = 1
         while ts is None and attempts < self.retry_count:
-            # Retry with a re-processed ROI (slight blur variation).
+            # Retry with a genuinely different preprocessing per attempt —
+            # OCR is deterministic, so re-running identical input is wasted
+            # latency. Attempt 2 blurs, attempt 3 sharpens, etc.
             import cv2
 
-            alt = cv2.GaussianBlur(processed, (5, 5), 0)
+            k = 3 + 2 * attempts  # 5, 7, ...
+            if attempts % 2 == 1:
+                alt = cv2.GaussianBlur(processed, (k, k), 0)
+            else:
+                blurred = cv2.GaussianBlur(processed, (k, k), 0)
+                alt = cv2.addWeighted(processed, 1.8, blurred, -0.8, 0)
             text, ocr_conf = self.ocr.extract_with_consensus(alt)
             ts = self.parser.fuzzy_parse(text) if text else None
             attempts += 1
@@ -97,7 +104,7 @@ class TimestampExtractorV2:
         result: ValidationResult = self.validator.validate(ts, frame_number, ocr_conf)
         if not result.is_valid:
             return None, 0.0
-        val_conf = result.confidence if result.confidence else 1.0
+        val_conf = result.confidence if result.confidence is not None else 1.0
         # Combined confidence = mean of OCR / format / validation scores
         # (reference :199-201).
         combined = float(np.mean([ocr_conf, fmt_conf, val_conf]))
@@ -134,7 +141,7 @@ class TimestampExtractorV2:
                 out.append((fn, None, 0.0))
                 continue
             fmt_conf = rest[0] if rest else 1.0
-            combined = float(np.mean([conf, fmt_conf, result.confidence or 1.0]))
+            combined = float(np.mean([conf, fmt_conf, result.confidence if result.confidence is not None else 1.0]))
             out.append((fn, result.timestamp, combined))
         return out
 

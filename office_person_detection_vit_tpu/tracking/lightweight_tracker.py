@@ -159,6 +159,11 @@ class LightweightTracker:
         for i, t in enumerate(self.tracks):
             if ok[i]:
                 cx, cy = float(new_pts[i, 0]), float(new_pts[i, 1])
+                # Keep the Kalman state in sync with the flow-tracked motion
+                # — otherwise a later flow failure snaps the box back to the
+                # stale last-detection position.
+                t.kf = kalman.kf_predict(t.kf, jnp.asarray(1.0, jnp.float32))
+                t.kf = kalman.kf_update(t.kf, jnp.asarray([cx, cy], jnp.float32))
             else:
                 t.kf = kalman.kf_predict(t.kf, jnp.asarray(1.0, jnp.float32))
                 pos = np.asarray(kalman.kf_position(t.kf))

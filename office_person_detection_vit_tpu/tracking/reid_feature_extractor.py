@@ -57,9 +57,20 @@ class ReIDFeatureExtractor:
             return
         if self.model_type == "clip":
             try:  # pragma: no cover - requires local CLIP weights
-                from transformers import FlaxCLIPModel  # noqa: F401
+                from transformers import FlaxCLIPModel
 
-                raise ImportError("CLIP weights unavailable offline")
+                source = self.model_path or self.model_name
+                if not source:
+                    raise ValueError("tracking.reid.model_path/model_name not set")
+                # local_files_only: the deployment has no network egress —
+                # only a locally downloaded checkpoint can satisfy this.
+                self._clip = FlaxCLIPModel.from_pretrained(
+                    source, local_files_only=True
+                )
+                self.backend = "clip"
+                self.feature_dim = int(self._clip.config.projection_dim)
+                logger.info("ReID backend: CLIP image tower (%d-d)", self.feature_dim)
+                return
             except Exception as e:
                 logger.warning("CLIP unavailable (%s); falling back to histogram", e)
         self.backend = "histogram"
@@ -93,6 +104,31 @@ class ReIDFeatureExtractor:
                             frame, np.asarray([bboxes[i]], np.float32), dim=self.feature_dim
                         )[0]
                 return out
+        if self.backend == "clip":  # pragma: no cover - needs local weights
+            return self._extract_clip(frame, bboxes)
         return crop_histogram_features(
             frame, np.asarray(bboxes, np.float32), dim=self.feature_dim
         )
+
+    def _extract_clip(self, frame: np.ndarray, bboxes) -> np.ndarray:  # pragma: no cover
+        """Crop -> 224x224 -> CLIP-normalize -> image tower -> L2 norm
+        (reference reid_feature_extractor.py:51-172 CLIP path)."""
+        import cv2
+        import jax.numpy as jnp
+
+        mean = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+        crops = []
+        H, W = frame.shape[:2]
+        for x, y, w, h in bboxes:
+            x0, y0 = max(int(x), 0), max(int(y), 0)
+            x1, y1 = min(int(x + w), W), min(int(y + h), H)
+            crop = frame[y0:y1, x0:x1]
+            if crop.size == 0:
+                crop = np.zeros((8, 8, 3), np.uint8)
+            crop = cv2.resize(crop, (224, 224))[..., ::-1]  # BGR -> RGB
+            crops.append((crop.astype(np.float32) / 255.0 - mean) / std)
+        pixels = jnp.asarray(np.stack(crops)).transpose(0, 3, 1, 2)
+        feats = np.asarray(self._clip.get_image_features(pixel_values=pixels))
+        norms = np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+        return (feats / norms).astype(np.float32)

@@ -59,15 +59,9 @@ class HomographyTransformer:
 
     def transform_detections(self, dets: list[Detection]) -> list[Detection]:
         """Batched: one device call for all detections."""
-        if not dets:
-            return dets
-        feet = np.asarray([d.foot_point for d in dets], np.float32)
-        floor_px = self.transform_batch(feet)
-        floor_mm = self.floormap.px_to_mm(floor_px)
-        for d, px, mm in zip(dets, floor_px, floor_mm):
-            d.floor_coords_px = (float(px[0]), float(px[1]))
-            d.floor_coords_mm = (float(mm[0]), float(mm[1]))
-        return dets
+        from .common import apply_floor_transform
+
+        return apply_floor_transform(self.transform_batch, self.floormap, dets)
 
     def is_in_bounds(self, floor_px: np.ndarray) -> np.ndarray:
         return np.asarray(

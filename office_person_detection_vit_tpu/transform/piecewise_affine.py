@@ -62,10 +62,15 @@ class PiecewiseAffineTransformer:
         return cls(src, dst, floormap, undistorter)
 
     @classmethod
-    def load(cls, path: str | Path) -> "PiecewiseAffineTransformer":
+    def load(cls, path: str | Path, undistorter=None) -> "PiecewiseAffineTransformer":
+        """The pickled src_points are already in undistorted space (they are
+        the fit inputs), so the model is rebuilt WITHOUT re-undistorting and
+        the undistorter is attached afterwards for query-time correction."""
         with open(path, "rb") as f:
             state = pickle.load(f)
-        return cls(state["src_points"], state["dst_points"], state.get("floormap"))
+        t = cls(state["src_points"], state["dst_points"], state.get("floormap"))
+        t.undistorter = undistorter
+        return t
 
     def save(self, path: str | Path) -> None:
         Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -88,26 +93,28 @@ class PiecewiseAffineTransformer:
         pts = np.atleast_2d(np.asarray(points, np.float32))
         if self.undistorter is not None:
             pts = self.undistorter.undistort_points(pts).astype(np.float32)
+        return self._transform_model_space(pts)
+
+    def _transform_model_space(self, pts: np.ndarray) -> np.ndarray:
+        """Transform points ALREADY in the fit (undistorted) space."""
         return np.asarray(
-            pwa_ops.pwa_transform(jnp.asarray(pts), self._tri, self._aff, self._cen)
+            pwa_ops.pwa_transform(
+                jnp.asarray(np.atleast_2d(np.asarray(pts, np.float32))),
+                self._tri, self._aff, self._cen,
+            )
         )
 
     def transform_detections(self, dets: list[Detection]) -> list[Detection]:
-        if not dets:
-            return dets
-        feet = np.asarray([d.foot_point for d in dets], np.float32)
-        floor_px = self.transform_batch(feet)
-        floor_mm = self.floormap.px_to_mm(floor_px)
-        for d, px, mm in zip(dets, floor_px, floor_mm):
-            d.floor_coords_px = (float(px[0]), float(px[1]))
-            d.floor_coords_mm = (float(mm[0]), float(mm[1]))
-        return dets
+        from .common import apply_floor_transform
+
+        return apply_floor_transform(self.transform_batch, self.floormap, dets)
 
     # ----------------------------------------------------------- diagnostics
     def training_error(self) -> dict[str, float]:
         """RMSE/max/mean over the training correspondences
-        (reference piecewise_affine.py:238-262)."""
-        pred = self.transform_batch(self.model.src_points)
+        (reference piecewise_affine.py:238-262). src_points are already in
+        fit space — going through transform_batch would undistort twice."""
+        pred = self._transform_model_space(self.model.src_points)
         err = np.linalg.norm(pred - self.model.dst_points, axis=1)
         return {
             "rmse": float(np.sqrt(np.mean(err**2))),
@@ -165,15 +172,9 @@ class ThinPlateSplineTransformer:
         return np.asarray(pwa_ops.tps_transform(pts, *self._args))
 
     def transform_detections(self, dets: list[Detection]) -> list[Detection]:
-        if not dets:
-            return dets
-        feet = np.asarray([d.foot_point for d in dets], np.float32)
-        floor_px = self.transform_batch(feet)
-        floor_mm = self.floormap.px_to_mm(floor_px)
-        for d, px, mm in zip(dets, floor_px, floor_mm):
-            d.floor_coords_px = (float(px[0]), float(px[1]))
-            d.floor_coords_mm = (float(mm[0]), float(mm[1]))
-        return dets
+        from .common import apply_floor_transform
+
+        return apply_floor_transform(self.transform_batch, self.floormap, dets)
 
     def training_error(self) -> dict[str, float]:
         pred = self.transform_batch(self._src.astype(np.float32))
@@ -204,7 +205,9 @@ def build_transformer(cfg: Any, undistorter=None):
     corr = cfg.get("calibration.correspondence_file")
     if method == "piecewise_affine":
         if model_path and Path(str(model_path)).exists():
-            return PiecewiseAffineTransformer.load(model_path)
+            loaded = PiecewiseAffineTransformer.load(model_path, undistorter=undistorter)
+            loaded.floormap = floormap
+            return loaded
         if corr and Path(str(corr)).exists():
             return PiecewiseAffineTransformer.from_correspondence_file(
                 corr, floormap, undistorter

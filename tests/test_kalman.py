@@ -55,3 +55,15 @@ def test_batched_predict_matches_single():
     for i in range(3):
         single = kalman.kf_predict(kalman.KFState(states.x[i], states.P[i]), dts[i])
         np.testing.assert_allclose(np.asarray(batch.x[i]), np.asarray(single.x), atol=1e-5)
+
+
+def test_kf_update_batch_default_noise():
+    """Regression: the documented default meas_noise must be reachable."""
+    import jax.numpy as jnp
+    from office_person_detection_vit_tpu.ops import kalman
+
+    import jax
+
+    states = jax.vmap(kalman.kf_init)(jnp.asarray([[0.0, 0.0], [5.0, 5.0]]))
+    out = kalman.kf_update_batch(states, jnp.asarray([[1.0, 1.0], [6.0, 6.0]]))
+    assert out.x.shape == (2, 4)

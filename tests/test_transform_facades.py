@@ -126,3 +126,39 @@ def test_reprojection_evaluator(ref_cfg):
     result = ReprojectionErrorEvaluator(t).evaluate(src, dst)
     assert result["rmse"] < 1e-3
     assert result["num_points"] == 2
+
+
+class TestPWAUndistorterRoundtrip:
+    def _undistorter(self):
+        class FakeUndistorter:
+            def undistort_points(self, pts):
+                return np.asarray(pts, np.float64) + 5.0  # simple shift
+        return FakeUndistorter()
+
+    def test_load_preserves_undistortion(self, tmp_path):
+        from office_person_detection_vit_tpu.transform.piecewise_affine import (
+            PiecewiseAffineTransformer,
+        )
+
+        rng = np.random.default_rng(0)
+        src = rng.uniform(0, 100, (8, 2))
+        dst = src * 2.0
+        und = self._undistorter()
+        t = PiecewiseAffineTransformer(src, dst, undistorter=und)
+        want = t.transform_batch(np.asarray([[50.0, 50.0]], np.float32))
+        t.save(tmp_path / "pwa.pkl")
+        t2 = PiecewiseAffineTransformer.load(tmp_path / "pwa.pkl", undistorter=und)
+        got = t2.transform_batch(np.asarray([[50.0, 50.0]], np.float32))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_training_error_not_double_undistorted(self):
+        from office_person_detection_vit_tpu.transform.piecewise_affine import (
+            PiecewiseAffineTransformer,
+        )
+
+        rng = np.random.default_rng(1)
+        src = rng.uniform(0, 100, (8, 2))
+        dst = (src + 5.0) * 2.0  # exact map of the undistorted points
+        t = PiecewiseAffineTransformer(src, dst, undistorter=self._undistorter())
+        stats = t.training_error()
+        assert stats["rmse"] < 1e-3  # double-undistortion would inflate this

@@ -102,3 +102,11 @@ def test_agrees_with_matplotlib_path(zones_config):
             & (np.abs(pts[:, 1] - ymax) > margin)
         )
         assert (ours[:, z] == ref)[interior].all()
+
+
+def test_priority_mode_no_zones():
+    """Regression: priority mode with zero zones must not crash."""
+    from office_person_detection_vit_tpu.zone.zone_classifier import ZoneClassifier
+
+    zc = ZoneClassifier([], overlap_mode="priority")
+    assert zc.classify_batch(np.asarray([[1.0, 2.0]])) == [[]]

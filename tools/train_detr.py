@@ -82,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--max-targets", type=int, default=32)
     parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="save a checkpoint every N epochs")
     parser.add_argument("--resume-from", type=Path, default=None,
@@ -112,9 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     logger.info("dataset: %d images", len(samples))
 
     cfg = (
-        DETRConfig.tiny(use_pallas_attention=False)
+        DETRConfig.tiny(use_pallas_attention=False, remat=args.remat)
         if args.tiny
-        else DETRConfig(dtype="bfloat16",
+        else DETRConfig(dtype="bfloat16", remat=args.remat,
                         use_pallas_attention=jax.default_backend() == "tpu")
     )
     model = DETR(cfg)
