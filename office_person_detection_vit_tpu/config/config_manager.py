@@ -81,6 +81,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "input_width": 1344,
         "dtype": "bfloat16",
         "use_pallas_attention": True,
+        # full | tiny (tests / dry runs)
+        "model_size": "full",
+        # bgr | i420 (i420 halves host->device bytes; costs a host cvtColor)
+        "transfer_format": "bgr",
+        # rematerialize transformer layers under grad (training memory)
+        "remat": False,
     },
     "tracking": {
         "enabled": False,

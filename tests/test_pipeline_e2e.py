@@ -277,3 +277,41 @@ class TestPartialResume:
         # Transform ran on the reloaded detections.
         assert (session / "04_transform" / "coordinate_transformations.json").exists()
         assert "02_detection" not in orch2.perf.summary()
+
+
+class TestAlternateConfigurations:
+    def test_pipeline_with_pwa_transform(self, tmp_path, video):
+        """Full run with piecewise-affine from a correspondence file."""
+        import json as _json
+
+        rng = np.random.default_rng(0)
+        cam = rng.uniform(0, 1280, (8, 2))
+        cam[:, 1] = rng.uniform(0, 720, 8)
+        floor = cam * 1.5 + 10.0
+        corr = {"points": [{"camera": c.tolist(), "floormap": f.tolist()}
+                           for c, f in zip(cam, floor)]}
+        corr_path = tmp_path / "corr.json"
+        corr_path.write_text(_json.dumps(corr))
+        cfg = _config(
+            tmp_path, video,
+            **{"transform.method": "piecewise_affine",
+               "calibration.correspondence_file": str(corr_path)},
+        )
+        frs = [FrameResult(0, datetime(2025, 1, 20, 9, 0, 0),
+                           [Detection(bbox=(300, 200, 50, 130), confidence=0.9)])]
+        TransformPhase(cfg).execute(frs, tmp_path / "t")
+        det = frs[0].detections[0]
+        # Affine map inside the hull: floor = cam * 1.5 + 10.
+        assert det.floor_coords_px[0] == pytest.approx(325 * 1.5 + 10, abs=1.0)
+        assert det.floor_coords_px[1] == pytest.approx(330 * 1.5 + 10, abs=1.0)
+
+    def test_pipeline_with_ssd_detector(self, tmp_path, video):
+        """Orchestrated run with the alternate detector family."""
+        cfg = _config(tmp_path, video, **{"detection.model": "ssd"})
+        orch = PipelineOrchestrator(cfg)
+        result = orch.run()
+        from office_person_detection_vit_tpu.detection.ssd_detector import SSDDetector
+
+        assert isinstance(orch.detection_phase.detector, SSDDetector)
+        session = orch.output.session_dir
+        assert (session / "05_aggregation" / "zone_counts.csv").exists()
