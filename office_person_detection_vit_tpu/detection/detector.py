@@ -122,13 +122,15 @@ class DETRDetector:
 
     def _build_jits(self) -> None:
         model = self.model
-        conf = self.confidence_threshold
         person = self.detr_config.person_class_id
         target_hw = self.input_hw
         i420 = self.transfer_format == "i420"
 
+        # The confidence threshold is a TRACED scalar, not a baked constant:
+        # changing detection.confidence_threshold between runs must not
+        # recompile (or miss the persistent compilation cache).
         @jax.jit
-        def _detect(variables, frames_u8, orig_wh):
+        def _detect(variables, frames_u8, orig_wh, conf):
             if i420:
                 pixels, mask = preprocess_frames_i420(
                     frames_u8, target_hw=target_hw,
@@ -145,7 +147,16 @@ class DETRDetector:
             )
             return batch, out["encoder_output"]
 
-        self._jit_detect = _detect
+        raw = _detect
+        conf_default = self.confidence_threshold
+
+        def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
+            c = jnp.asarray(
+                conf_default if conf is None else conf, jnp.float32
+            )
+            return raw(variables, frames_u8, orig_wh, c)
+
+        self._jit_detect = _detect_with_conf
 
     # ---------------------------------------------------------------- detect
     def detect_batch(self, frames: np.ndarray) -> DetectionBatch:

@@ -79,12 +79,11 @@ class SSDDetector:
 
     def _build_jits(self) -> None:
         model = self.model
-        conf = self.confidence_threshold
         target_hw = self.input_hw
         cfg = self.ss_config
 
         @jax.jit
-        def _detect(variables, frames_u8, orig_wh):
+        def _detect(variables, frames_u8, orig_wh, conf):
             pixels, _mask = preprocess_frames(
                 frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
             )
@@ -92,7 +91,13 @@ class SSDDetector:
             batch = decode_single_shot(out, orig_wh, target_hw, cfg, conf)
             return batch, out["features"]
 
-        self._jit_detect = _detect
+        conf_default = self.confidence_threshold
+
+        def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
+            c = jnp.asarray(conf_default if conf is None else conf, jnp.float32)
+            return _detect(variables, frames_u8, orig_wh, c)
+
+        self._jit_detect = _detect_with_conf
 
     # Same batched surface as DETRDetector ------------------------------
     def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
