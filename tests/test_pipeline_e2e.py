@@ -315,3 +315,45 @@ class TestAlternateConfigurations:
         assert isinstance(orch.detection_phase.detector, SSDDetector)
         session = orch.output.session_dir
         assert (session / "05_aggregation" / "zone_counts.csv").exists()
+
+
+class TestFailurePaths:
+    def test_failed_run_writes_failed_summary(self, tmp_path, video):
+        """An exception mid-pipeline must still produce summary.json with
+        status=failed (reference main.py:120-136 exit taxonomy)."""
+        import sys
+        from pathlib import Path as _P
+
+        sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+        from main import main as cli_main
+        import yaml as _yaml
+
+        cfg = {
+            "video": {"input_path": str(video), "fps": 30,
+                      "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                      "time_compression_ratio": 313.0},
+            "detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                          "device": "cpu", "model_size": "tiny",
+                          "input_height": 96, "input_width": 128,
+                          "dtype": "float32", "use_pallas_attention": False},
+            # Invalid homography (singular) -> TransformPhase raises.
+            "transform": {"method": "homography"},
+            "homography": {"matrix": [[0, 0, 0], [0, 0, 0], [0, 0, 0]]},
+            "zones": ZONES,
+            "output": {"directory": str(tmp_path / "output"),
+                       "save_floormap_images": False},
+            "timestamp": {
+                "extraction_mode": "auto_targets",
+                "auto_targets": {"max_frames": 40, "disable_validation": True},
+                "sampling": {"coarse_interval_seconds": 0.5},
+                "extraction": {"confidence_threshold": 0.3},
+            },
+        }
+        cfg_path = tmp_path / "c.yaml"
+        cfg_path.write_text(_yaml.safe_dump(cfg))
+        rc = cli_main(["--config", str(cfg_path)])
+        assert rc == 2
+        sessions = [p for p in (tmp_path / "output").iterdir()
+                    if p.is_dir() and not p.is_symlink()]
+        summary = json.loads((sessions[0] / "summary.json").read_text())
+        assert summary["status"] == "failed"
