@@ -88,7 +88,19 @@ class TrackingPhase(BasePhase):
                 feats = self.reid.extract_features(frame, [d.bbox for d in dets])
                 for d, f in zip(dets, feats):
                     d.feature = f
-            timestamp = float(i)
+            # Real wall-clock seconds drive the adaptive-dt Kalman (reference
+            # kalman_filter.py:65-119 — Q/F recomputed per dt, essential for
+            # multi-minute gaps between sampled frames); fall back to the
+            # frame index when no timestamp was extracted.
+            from datetime import datetime as _dt
+
+            ts = fr.timestamp
+            if isinstance(ts, str):
+                try:
+                    ts = _dt.fromisoformat(ts)
+                except ValueError:
+                    ts = None
+            timestamp = ts.timestamp() if isinstance(ts, _dt) else float(i)
             if self.hybrid:
                 # Hybrid lightweight mode (reference lightweight_tracker.py):
                 # detection frames associate greedily; detection-less frames
