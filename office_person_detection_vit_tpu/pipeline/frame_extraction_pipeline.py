@@ -55,6 +55,10 @@ class FrameExtractionPipeline:
         self.fps = float(config.get("video.fps", 30.0))
         self.interval_minutes = float(config.get("video.frame_interval_minutes", 5))
         self.tolerance_seconds = float(config.get("video.tolerance_seconds", 60))
+        self.compression_ratio = float(config.get("video.time_compression_ratio", 313.0))
+        self.coarse_interval = float(
+            config.get("timestamp.sampling.coarse_interval_seconds", 5.0)
+        )
         # Dense tracking samples the grid at tracking_interval_seconds
         # (e.g. 10 s) instead of the 5-minute output grid; Phase 2.5 then
         # re-aggregates to output windows (reference phases/tracking.py:388-483).
@@ -64,10 +68,13 @@ class FrameExtractionPipeline:
             )
             self.interval_minutes = dense_s / 60.0
             self.tolerance_seconds = min(self.tolerance_seconds, dense_s / 2)
-        self.compression_ratio = float(config.get("video.time_compression_ratio", 313.0))
-        self.coarse_interval = float(
-            config.get("timestamp.sampling.coarse_interval_seconds", 5.0)
-        )
+            # The coarse scan must sample at least twice per dense-grid step
+            # (in wall-clock terms) or most targets have no frame in
+            # tolerance; convert the dense wall interval to video seconds.
+            max_scan_video_s = dense_s / self.compression_ratio / 2
+            self.coarse_interval = min(self.coarse_interval, max(
+                max_scan_video_s, 1.0 / self.fps
+            ))
         self.fine_interval = float(
             config.get("timestamp.sampling.fine_interval_seconds", 1.0)
         )

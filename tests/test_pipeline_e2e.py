@@ -357,3 +357,39 @@ class TestFailurePaths:
                     if p.is_dir() and not p.is_symlink()]
         summary = json.loads((sessions[0] / "summary.json").read_text())
         assert summary["status"] == "failed"
+
+
+class TestDenseTracking:
+    def test_dense_grid_and_window_aggregation(self, tmp_path, video):
+        """dense_tracking.enabled: Phase 1 samples at the dense interval and
+        Phase 2.5 re-aggregates to the output windows."""
+        cfg = _config(
+            tmp_path, video,
+            **{
+                "tracking.enabled": True,
+                "video.dense_tracking.enabled": True,
+                "video.dense_tracking.tracking_interval_seconds": 60,
+                "video.dense_tracking.output_interval_minutes": 5,
+            },
+        )
+        orch = PipelineOrchestrator(cfg)
+        orch.setup_output_directories()
+        extracted = orch.extract_frames()
+        # 60 s dense grid over ~10 wall-clock minutes -> more frames than the
+        # 5-minute output grid would give (2).
+        assert len(extracted) > 2
+        n_dense = len(orch.frame_results)
+        # Synthetic detections (the tiny random-init model finds nothing):
+        # one slowly-moving person visible in every dense frame.
+        for i, fr in enumerate(orch.frame_results):
+            fr.detections = [
+                Detection(bbox=(100 + 2 * i, 200, 50, 130), confidence=0.9)
+            ]
+        orch.run_tracking()
+        # Aggregated back down to the 5-minute output windows with per-window
+        # track dedup: fewer result rows than dense frames.
+        assert len(orch.frame_results) < n_dense
+        assert len(orch.frame_results) >= 2
+        for fr in orch.frame_results:
+            assert len(fr.detections) >= 1
+            assert fr.detections[0].track_id is not None
