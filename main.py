@@ -78,7 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     except KeyboardInterrupt:
         logger.warning("interrupted")
         if orchestrator is not None:
-            orchestrator.save_session_summary(status="cancelled")
+            try:
+                orchestrator.save_session_summary(status="cancelled")
+            except Exception:
+                pass  # interrupted before the session existed
         return 130
     except Exception:
         logger.exception("pipeline failed")

@@ -85,32 +85,18 @@ class DETRDetector:
         ckpt = self.checkpoint_path
         if ckpt and Path(str(ckpt)).exists():
             ckpt = Path(str(ckpt))
-            self.model = DETR(self.detr_config)
-            if ckpt.is_dir():
-                import orbax.checkpoint as ocp
+            from ..models.weights import load_any_checkpoint
 
-                self.variables = ocp.StandardCheckpointer().restore(ckpt.resolve())
-                logger.info("loaded orbax checkpoint from %s", ckpt)
-            elif ckpt.suffix == ".npz":
-                import numpy as _np
-
-                self.model, template = init_detr(
-                    self.detr_config, rng, input_hw=(64, 64)
-                )
-                with _np.load(ckpt) as data:
-                    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
-                treedef = jax.tree_util.tree_structure(template)
-                self.variables = jax.tree_util.tree_unflatten(treedef, leaves)
-                logger.info("loaded npz checkpoint from %s", ckpt)
-            else:
-                from ..models.weights import load_torch_checkpoint
-
-                self.variables = load_torch_checkpoint(
-                    str(ckpt),
-                    num_encoder_layers=self.detr_config.num_encoder_layers,
-                    num_decoder_layers=self.detr_config.num_decoder_layers,
-                )
-                logger.info("converted torch checkpoint from %s", ckpt)
+            self.model, template = init_detr(
+                self.detr_config, rng, input_hw=(64, 64)
+            )
+            self.variables = load_any_checkpoint(
+                ckpt,
+                template=template,
+                num_encoder_layers=self.detr_config.num_encoder_layers,
+                num_decoder_layers=self.detr_config.num_decoder_layers,
+            )
+            logger.info("loaded checkpoint from %s", ckpt)
         else:
             if ckpt:
                 logger.warning("checkpoint %s not found; using random init", ckpt)

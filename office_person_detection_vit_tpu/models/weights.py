@@ -179,3 +179,28 @@ def load_torch_checkpoint(path: str, **kw) -> dict[str, Any]:
         if "model" in sd and isinstance(sd["model"], dict):
             sd = sd["model"]
     return convert_torch_state_dict(sd, **kw)
+
+
+def load_any_checkpoint(path, template=None, **converter_kw):
+    """Load DETR params from any format the framework produces or consumes:
+    orbax directory, flat-leaf .npz (tools/train_detr.py output), or a torch
+    .pt/.bin/.safetensors file (converted). ``template`` (a variables pytree)
+    is required for .npz (tree structure) and ignored otherwise."""
+    from pathlib import Path as _Path
+
+    p = _Path(str(path))
+    if p.is_dir():
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(p.resolve())
+    if p.suffix == ".npz":
+        if template is None:
+            raise ValueError(".npz checkpoints need a template pytree")
+        import jax
+        import numpy as _np
+
+        with _np.load(p) as data:
+            leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    return load_torch_checkpoint(str(p), **converter_kw)

@@ -45,6 +45,11 @@ def fit_homography_dlt(cam: np.ndarray, floor: np.ndarray) -> np.ndarray:
     import cv2
 
     H, _ = cv2.findHomography(cam.astype(np.float64), floor.astype(np.float64), 0)
+    if H is None:
+        raise ValueError(
+            "degenerate correspondences (collinear or duplicate points) — "
+            "cannot fit a homography"
+        )
     return np.asarray(H, np.float64)
 
 

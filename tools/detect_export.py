@@ -69,9 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         by_shape.setdefault(img.shape[:2], []).append((p, img))
 
     for shape, items in by_shape.items():
-        frames = np.stack([img for _, img in items])
-        batch = detector.detect_batch(frames)
-        for (p, _), frame_result in zip(items, batch.to_frame_results()):
+        # Feed detect_batch in batch-sized slices: stacking thousands of
+        # frames at once would blow host RAM and accumulate every chunk's
+        # encoder output in HBM.
+        results_iter = []
+        for i in range(0, len(items), args.batch):
+            chunk = items[i : i + args.batch]
+            frames = np.stack([img for _, img in chunk])
+            results_iter.extend(detector.detect_batch(frames).to_frame_results())
+        for (p, _), frame_result in zip(items, results_iter):
             for d in frame_result.detections:
                 results.append(
                     {

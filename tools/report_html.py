@@ -37,7 +37,13 @@ th { background: #f1f3f8; }
 """
 
 
-def _img_tag(path: Path, max_images_bytes: int = 40_000_000) -> str:
+MAX_EMBED_BYTES = 2_000_000  # per image; oversized files are listed, not embedded
+
+
+def _img_tag(path: Path) -> str:
+    if path.stat().st_size > MAX_EMBED_BYTES:
+        return (f"<div class='kpi'>{html.escape(path.name)} "
+                f"({path.stat().st_size // 1024} KB — too large to embed)</div>")
     data = base64.b64encode(path.read_bytes()).decode()
     mime = "image/png" if path.suffix == ".png" else "image/jpeg"
     return f'<img src="data:{mime};base64,{data}" title="{html.escape(path.name)}">'

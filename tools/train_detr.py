@@ -111,6 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     if not samples:
         logger.error("no usable samples under %s", args.images)
         return 1
+    if len(samples) < args.batch:
+        logger.warning(
+            "dataset (%d) smaller than --batch %d; clamping batch",
+            len(samples), args.batch,
+        )
+        args.batch = len(samples)
     logger.info("dataset: %d images", len(samples))
 
     cfg = (
@@ -119,13 +125,22 @@ def main(argv: list[str] | None = None) -> int:
         else DETRConfig(dtype="bfloat16", remat=args.remat,
                         use_pallas_attention=jax.default_backend() == "tpu")
     )
-    model = DETR(cfg)
-    if args.init and args.init.exists():
-        from office_person_detection_vit_tpu.models.weights import load_torch_checkpoint
+    model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+    if args.init:
+        if args.init.exists():
+            from office_person_detection_vit_tpu.models.weights import (
+                load_any_checkpoint,
+            )
 
-        variables = load_torch_checkpoint(str(args.init))
-    else:
-        model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+            variables = load_any_checkpoint(
+                args.init, template=variables,
+                num_encoder_layers=cfg.num_encoder_layers,
+                num_decoder_layers=cfg.num_decoder_layers,
+            )
+            logger.info("initialized from %s", args.init)
+        else:
+            logger.warning("--init %s not found; training from random init",
+                           args.init)
     params = variables["params"]
 
     tx = make_optimizer(learning_rate=args.lr, backbone_lr=args.lr / 10)
@@ -165,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
         frames = []
         for path, _, _ in batch_samples:
             img = cv2.imread(str(path))
+            if img is None:
+                logger.warning("unreadable image %s; substituting blank", path)
+                img = np.zeros((720, 1280, 3), np.uint8)
             frames.append(cv2.resize(img, (1280, 720)))
         frames_u8 = jnp.asarray(np.stack(frames))
         pixels, mask = preprocess_frames(frames_u8, target_hw=target_hw,
@@ -193,15 +211,16 @@ def main(argv: list[str] | None = None) -> int:
     for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(samples))
         t0 = time.perf_counter()
-        losses = []
-        for i in range(steps_per_epoch):
+        losses = []  # device scalars; fetched once per epoch so async
+        for i in range(steps_per_epoch):  # dispatch overlaps data loading
             idx = order[i * args.batch : (i + 1) * args.batch]
             if len(idx) < args.batch:  # static shapes: drop ragged tail
                 break
             batch = shard_batch(make_batch([samples[j] for j in idx]))
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
-            losses.append(float(jax.device_get(metrics["loss"])))
+            losses.append(metrics["loss"])
+        losses = [float(l) for l in jax.device_get(losses)]
         logger.info(
             "epoch %d/%d: loss %.4f (%.1fs)",
             epoch + 1, args.epochs,
