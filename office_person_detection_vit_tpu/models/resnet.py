@@ -77,6 +77,10 @@ class ResNet(nn.Module):
     hidden_sizes: Sequence[int] = (256, 512, 1024, 2048)
     embedding_size: int = 64
     dtype: jnp.dtype = jnp.float32
+    #: return the last 3 stage outputs (strides 8/16/32) instead of just C5
+    #: — the FPN input for multi-scale detection heads. Param names/tree are
+    #: unchanged, so checkpoints load either way.
+    return_pyramid: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -90,6 +94,7 @@ class ResNet(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         in_feat = self.embedding_size
+        stage_outputs = []
         for s, (depth, hidden) in enumerate(zip(self.depths, self.hidden_sizes)):
             mid = hidden // 4
             for layer in range(depth):
@@ -103,4 +108,7 @@ class ResNet(nn.Module):
                     name=f"stage{s}_layer{layer}",
                 )(y)
                 in_feat = hidden
+            stage_outputs.append(y)
+        if self.return_pyramid:
+            return tuple(stage_outputs[-3:])  # (C3 s8, C4 s16, C5 s32)
         return y

@@ -23,11 +23,19 @@ from jax import Array
 
 @dataclass(frozen=True)
 class SSDCriterionConfig:
-    stride: int = 32
+    strides: tuple[int, ...] = (8, 16, 32)
     center_radius: float = 1.5
     w_obj: float = 1.0
     w_cls: float = 1.0
     w_iou: float = 2.0
+
+    def size_ranges(self) -> list[tuple[float, float]]:
+        """FCOS-style per-level object-size gates on max(w, h) in pixels:
+        finest level takes small boxes, coarsest takes the rest."""
+        bounds = [8.0 * s for s in self.strides[:-1]]
+        lows = [0.0] + bounds
+        highs = bounds + [float("inf")]
+        return list(zip(lows, highs))
 
 
 def _bce(logits: Array, targets: Array) -> Array:
@@ -43,6 +51,7 @@ def assign_targets(
     input_hw: tuple[int, int],
     center_radius: float,
     stride: int,
+    size_range: tuple[float, float] = (0.0, float("inf")),
 ):
     """Per-cell assignment for ONE image. Returns (pos (fh,fw) bool,
     box_idx (fh,fw) int32 — index of the assigned GT)."""
@@ -55,12 +64,18 @@ def assign_targets(
     gw = tgt_boxes[:, 2] * iw
     gh = tgt_boxes[:, 3] * ih
 
-    # (T, fh, fw): center-sampling region AND inside the box.
+    # (T, fh, fw): center-sampling region AND inside the box AND the box's
+    # size belongs on this pyramid level.
     dx = jnp.abs(cx[None, None, :] - gcx[:, None, None])
     dy = jnp.abs(cy[None, :, None] - gcy[:, None, None])
     in_center = (dx <= center_radius * stride) & (dy <= center_radius * stride)
     in_box = (dx <= gw[:, None, None] / 2) & (dy <= gh[:, None, None] / 2)
-    candidate = in_center & in_box & tgt_valid[:, None, None]
+    max_side = jnp.maximum(gw, gh)  # (T,)
+    lo, hi = size_range
+    in_range = (max_side > lo) & (max_side <= hi)
+    candidate = (
+        in_center & in_box & (tgt_valid & in_range)[:, None, None]
+    )
 
     area = jnp.where(tgt_valid, gw * gh, jnp.inf)  # (T,)
     # Smallest-area GT wins each cell.
@@ -70,43 +85,41 @@ def assign_targets(
     return pos, box_idx
 
 
-def ssd_loss(
-    outputs: dict,      # raw head outputs from SingleShotDetector
-    tgt_labels: Array,  # (B, T) int32 (1-based class ids; 0 allowed)
-    tgt_boxes: Array,   # (B, T, 4) cxcywh normalized
-    tgt_valid: Array,   # (B, T)
+def _level_loss(
+    level: dict,
+    tgt_labels: Array,
+    tgt_boxes: Array,
+    tgt_valid: Array,
     input_hw: tuple[int, int],
-    config: SSDCriterionConfig = SSDCriterionConfig(),
-) -> tuple[Array, dict[str, Array]]:
-    obj = outputs["objectness"]        # (B, fh, fw)
-    cls = outputs["class_logits"]      # (B, fh, fw, C)
-    ltrb = outputs["ltrb"]             # (B, fh, fw, 4) stride units, >=0
+    stride: int,
+    size_range: tuple[float, float],
+    config: SSDCriterionConfig,
+):
+    """Unnormalized loss sums + positive count for ONE pyramid level."""
+    obj = level["objectness"]        # (B, fh, fw)
+    cls = level["class_logits"]      # (B, fh, fw, C)
+    ltrb = level["ltrb"]             # (B, fh, fw, 4) stride units, >=0
     B, fh, fw = obj.shape
     C = cls.shape[-1]
     ih, iw = input_hw
-    stride = config.stride
 
     pos, box_idx = jax.vmap(
         lambda tb, tv: assign_targets(
-            tb, tv, (fh, fw), input_hw, config.center_radius, stride
+            tb, tv, (fh, fw), input_hw, config.center_radius, stride, size_range
         )
     )(tgt_boxes, tgt_valid)  # (B, fh, fw) bool / int32
 
     posf = pos.astype(jnp.float32)
-    num_pos = jnp.maximum(jnp.sum(posf), 1.0)
+    num_pos = jnp.sum(posf)
 
-    # ------------------------------------------------------------- objness
-    loss_obj = jnp.sum(_bce(obj, posf)) / num_pos
+    sum_obj = jnp.sum(_bce(obj, posf))
 
-    # ----------------------------------------------------------------- cls
     assigned_labels = jnp.take_along_axis(
         tgt_labels, box_idx.reshape(B, -1), axis=1
-    ).reshape(B, fh, fw)  # (B, fh, fw)
-    # One-hot over C classes; labels are 1-based COCO-ish ids -> clamp into range.
+    ).reshape(B, fh, fw)
     onehot = jax.nn.one_hot(jnp.clip(assigned_labels - 1, 0, C - 1), C)
-    loss_cls = jnp.sum(_bce(cls, onehot) * posf[..., None]) / num_pos
+    sum_cls = jnp.sum(_bce(cls, onehot) * posf[..., None])
 
-    # ----------------------------------------------------------------- box
     cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * stride
     cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * stride
     l, t, r, b = (ltrb[..., i] * stride for i in range(4))
@@ -131,7 +144,33 @@ def ssd_loss(
     area_p = jnp.clip(px1 - px0, 0) * jnp.clip(py1 - py0, 0)
     area_g = jnp.clip(gx1 - gx0, 0) * jnp.clip(gy1 - gy0, 0)
     iou = inter / jnp.maximum(area_p + area_g - inter, 1e-9)
-    loss_iou = jnp.sum((1.0 - iou) * posf) / num_pos
+    sum_iou = jnp.sum((1.0 - iou) * posf)
+    return sum_obj, sum_cls, sum_iou, num_pos
+
+
+def ssd_loss(
+    outputs: dict,      # {"levels": [per-level raw head outputs], ...}
+    tgt_labels: Array,  # (B, T) int32 (1-based class ids; 0 allowed)
+    tgt_boxes: Array,   # (B, T, 4) cxcywh normalized
+    tgt_valid: Array,   # (B, T)
+    input_hw: tuple[int, int],
+    config: SSDCriterionConfig = SSDCriterionConfig(),
+) -> tuple[Array, dict[str, Array]]:
+    """Multi-level FCOS loss: per-level sums, normalized by the GLOBAL
+    positive count (a plain sum — GSPMD inserts the data-axis all-reduce
+    under pjit)."""
+    levels = outputs["levels"]
+    sums = [
+        _level_loss(level, tgt_labels, tgt_boxes, tgt_valid, input_hw,
+                    stride, size_range, config)
+        for level, stride, size_range in zip(
+            levels, config.strides, config.size_ranges()
+        )
+    ]
+    num_pos = jnp.maximum(sum(s[3] for s in sums), 1.0)
+    loss_obj = sum(s[0] for s in sums) / num_pos
+    loss_cls = sum(s[1] for s in sums) / num_pos
+    loss_iou = sum(s[2] for s in sums) / num_pos
 
     total = (
         config.w_obj * loss_obj + config.w_cls * loss_cls + config.w_iou * loss_iou
@@ -153,7 +192,7 @@ def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None):
     from .train_step import TrainState
 
     if config is None:
-        config = SSDCriterionConfig(stride=model.config.stride)
+        config = SSDCriterionConfig(strides=model.config.strides)
 
     def loss_fn(params, batch):
         out = model.apply({"params": params}, batch["pixels"], deterministic=True)
