@@ -328,3 +328,73 @@ class TestRemat:
             state, metrics = step(state, batch, jax.random.PRNGKey(7))
             results.append(float(metrics["loss"]))
         assert results[0] == pytest.approx(results[1], rel=1e-5)
+
+
+class TestMultiScaleAssignment:
+    def test_size_ranges_route_boxes_to_levels(self):
+        """Small GT lands on stride 8, large GT on stride 32 (FCOS gates)."""
+        from office_person_detection_vit_tpu.training.ssd_criterion import (
+            SSDCriterionConfig,
+            assign_targets,
+        )
+
+        cfg = SSDCriterionConfig()
+        ranges = cfg.size_ranges()
+        assert ranges[0][1] == 64.0 and ranges[1][1] == 128.0
+        ih = iw = 256
+        # Small box (32 px) and large box (200 px), both centered.
+        boxes = jnp.asarray(
+            [[0.5, 0.5, 32 / iw, 32 / ih], [0.5, 0.5, 200 / iw, 200 / ih]],
+            jnp.float32,
+        )
+        valid = jnp.asarray([True, True])
+        # Stride 8 level: only the small box should be positive.
+        pos8, idx8 = assign_targets(
+            boxes, valid, (32, 32), (ih, iw), 1.5, 8, ranges[0]
+        )
+        assert bool(pos8.any())
+        assert (np.asarray(idx8)[np.asarray(pos8)] == 0).all()
+        # Stride 32 level: only the large box.
+        pos32, idx32 = assign_targets(
+            boxes, valid, (8, 8), (ih, iw), 1.5, 32, ranges[2]
+        )
+        assert bool(pos32.any())
+        assert (np.asarray(idx32)[np.asarray(pos32)] == 1).all()
+
+    def test_decode_concat_scales_levels_correctly(self):
+        """A strong activation on the stride-8 level decodes to a small box
+        near its cell center; the same on stride 32 to a large offset."""
+        from office_person_detection_vit_tpu.models.single_shot import (
+            SingleShotConfig,
+            decode_single_shot,
+        )
+
+        cfg = SingleShotConfig.tiny(nms_iou_threshold=0.9)
+        ih, iw = 96, 128
+        levels = []
+        for stride in cfg.strides:
+            fh, fw = ih // stride, iw // stride
+            levels.append(
+                {
+                    "objectness": jnp.full((1, fh, fw), -20.0),
+                    "class_logits": jnp.full((1, fh, fw, cfg.num_classes), -20.0),
+                    "ltrb": jnp.ones((1, fh, fw, 4)),
+                }
+            )
+        # One hot cell on the finest level at grid (2, 3).
+        levels[0]["objectness"] = levels[0]["objectness"].at[0, 2, 3].set(20.0)
+        levels[0]["class_logits"] = levels[0]["class_logits"].at[0, 2, 3, 0].set(20.0)
+        batch = decode_single_shot(
+            {"levels": levels}, jnp.asarray([float(iw), float(ih)], jnp.float32),
+            (ih, iw), cfg, 0.5,
+        )
+        valid = np.asarray(batch.valid[0])
+        assert valid.sum() == 1
+        box = np.asarray(batch.boxes_xywh[0])[valid][0]
+        # Cell center (3.5*8, 2.5*8) = (28, 20); ltrb is post-softplus stride
+        # units (the head applies softplus), so 1.0 -> 8 px per side
+        # -> box 16x16 centered at (28, 20).
+        assert box[2] == pytest.approx(16.0, abs=0.5)
+        assert box[3] == pytest.approx(16.0, abs=0.5)
+        assert box[0] + box[2] / 2 == pytest.approx(28.0, abs=0.5)
+        assert box[1] + box[3] / 2 == pytest.approx(20.0, abs=0.5)
