@@ -74,3 +74,71 @@ def test_reprojection_errors():
     dst = jnp.asarray([[0.0, 3.0], [1.0, 1.0]])
     err = geometry.reprojection_errors(H, src, dst)
     np.testing.assert_allclose(np.asarray(err), [3.0, 0.0], atol=1e-6)
+
+
+# ------------------------------------------------------- homography fitting
+class TestHomographyFit:
+    @staticmethod
+    def _project(H, pts):
+        h = np.concatenate([pts, np.ones((len(pts), 1))], 1) @ H.T
+        return h[:, :2] / h[:, 2:3]
+
+    def test_dlt_recovers_exact_homography(self):
+        from office_person_detection_vit_tpu.ops.homography_fit import (
+            fit_homography_dlt,
+        )
+
+        rng = np.random.default_rng(0)
+        H = np.array([[1.2, 0.1, 30.0], [0.05, 0.9, -12.0], [1e-4, -2e-4, 1.0]])
+        src = rng.uniform(0, 1000, (40, 2))
+        dst = self._project(H, src)
+        h = np.asarray(fit_homography_dlt(src, dst), np.float64)
+        assert np.abs(h - H).max() < 1e-2
+        # transfer error is the metric that matters (fp32)
+        err = np.linalg.norm(self._project(h, src) - dst, axis=1)
+        assert err.max() < 0.05
+
+    def test_dlt_cv2_parity(self):
+        import cv2
+
+        from office_person_detection_vit_tpu.ops.homography_fit import (
+            fit_homography_dlt,
+        )
+
+        rng = np.random.default_rng(3)
+        src = rng.uniform(0, 1280, (20, 2))
+        H = np.array([[1.5, 0.0, 100.0], [0.0, 1.4, 50.0], [0.0, 0.0, 1.0]])
+        dst = self._project(H, src) + rng.normal(0, 1.0, (20, 2))
+        ours = np.asarray(fit_homography_dlt(src, dst), np.float64)
+        theirs, _ = cv2.findHomography(src, dst, 0)
+        # both least-squares fits: projections should agree closely
+        np.testing.assert_allclose(
+            self._project(ours, src), self._project(theirs, src), atol=0.5
+        )
+
+    def test_ransac_rejects_outliers(self):
+        from office_person_detection_vit_tpu.ops.homography_fit import (
+            fit_homography_ransac,
+        )
+
+        rng = np.random.default_rng(1)
+        H = np.array([[1.5, 0.0, 100.0], [0.0, 1.4, 50.0], [0.0, 0.0, 1.0]])
+        src = rng.uniform(0, [1280, 720], (30, 2))
+        dst = self._project(H, src)
+        dst[:5] += rng.uniform(150, 400, (5, 2))  # gross outliers
+        h, inliers, errors = fit_homography_ransac(src, dst, threshold=5.0)
+        inliers = np.asarray(inliers)
+        assert inliers.sum() == 25
+        assert not inliers[:5].any()
+        err = np.linalg.norm(
+            self._project(np.asarray(h, np.float64), src[5:]) - dst[5:], axis=1
+        )
+        assert err.max() < 0.1
+
+    def test_ransac_rejects_too_few_points(self):
+        from office_person_detection_vit_tpu.ops.homography_fit import (
+            fit_homography_ransac,
+        )
+
+        with pytest.raises(ValueError, match=">=4"):
+            fit_homography_ransac(np.zeros((3, 2)), np.zeros((3, 2)))

@@ -101,3 +101,148 @@ def test_camera_optimizer_cli(tmp_path):
     assert rc == 0
     result = json.loads((tmp_path / "H.json").read_text())
     assert result["fit"]["rmse"] < 0.1
+
+
+@pytest.fixture()
+def correspondence_file(tmp_path):
+    rng = np.random.default_rng(1)
+    H = np.array([[1.5, 0.0, 100.0], [0.0, 1.4, 50.0], [0.0, 0.0, 1.0]])
+    cam = rng.uniform(0, [1280, 720], (25, 2))
+    fl = np.concatenate([cam, np.ones((25, 1))], 1) @ H.T
+    fl = fl[:, :2] / fl[:, 2:3]
+    fl[0] += [400, 300]  # one outlier
+    p = tmp_path / "pts.json"
+    p.write_text(json.dumps({
+        "points": [{"camera": c.tolist(), "floormap": f.tolist()}
+                   for c, f in zip(cam, fl)]
+    }))
+    return p, H
+
+
+def test_correspondence_analyzer_cli(correspondence_file, tmp_path):
+    from tools.correspondence_analyzer import main as analyzer_main
+
+    pts, _ = correspondence_file
+    out = tmp_path / "analysis"
+    rc = analyzer_main(["--correspondences", str(pts), "--output-dir", str(out)])
+    assert rc == 0
+    res = json.loads((out / "analysis.json").read_text())
+    assert res["distribution"]["total_points"] == 25
+    err = res["homography_error"]
+    assert err["num_outliers"] == 1
+    assert not err["point_errors"][0]["is_inlier"]
+    inlier_errs = [p["error"] for p in err["point_errors"] if p["is_inlier"]]
+    assert max(inlier_errs) < 1.0
+    assert (out / "report.md").exists()
+    assert (out / "distribution.png").exists()
+    assert (out / "error_map.png").exists()
+
+
+def test_poc_deep_homography_cli(correspondence_file, tmp_path):
+    from tools.poc_deep_homography import main as poc_main
+
+    pts, H = correspondence_file
+    out = tmp_path / "poc.json"
+    rc = poc_main(["--correspondence", str(pts), "--ransac", "--json", str(out)])
+    assert rc == 0
+    (result,) = json.loads(out.read_text())
+    assert result["name"] == "ransac"
+    assert result["num_inliers"] == 24
+    est = np.asarray(result["homography_matrix"])
+    assert np.abs(est - H).max() < 0.5
+
+
+def test_poc_tracking_backends_cli(tmp_path):
+    from tools.poc_tracking_backends import main as poc_main
+
+    # Two people moving right; 6 frames.
+    frames = []
+    for f in range(6):
+        frames.append({
+            "frame": f,
+            "timestamp": f"t{f}",
+            "detections": [
+                {"bbox": [100 + 5 * f, 200, 40, 80], "score": 0.9},
+                {"bbox": [400 + 5 * f, 210, 40, 80], "score": 0.85},
+            ],
+        })
+    dets = tmp_path / "dets.json"
+    dets.write_text(json.dumps(frames))
+    out = tmp_path / "tracked.json"
+    rc = poc_main(["--detections", str(dets), "--backend", "both",
+                   "--output", str(out)])
+    assert rc == 0
+    res = json.loads(out.read_text())
+    for backend in ("deepsort", "lightweight"):
+        stats = res[backend]["stats"]
+        assert stats["frames"] == 6 and stats["detections"] == 12
+        assert stats["unique_tracks"] == 2
+        # ids persist across frames
+        last = res[backend]["frames"][-1]["detections"]
+        first_ids = {d["track_id"] for d in res[backend]["frames"][2]["detections"]}
+        assert {d["track_id"] for d in last} == first_ids
+
+
+def test_convert_coco_to_yolo(tmp_path):
+    from tools.convert_gt import main as convert_main
+
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 100, "height": 50},
+            {"id": 2, "file_name": "b.jpg", "width": 100, "height": 50},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "bbox": [10, 10, 20, 30]},
+            {"id": 2, "image_id": 2, "bbox": [50, 0, 10, 10]},
+        ],
+    }
+    src = tmp_path / "coco.json"
+    src.write_text(json.dumps(coco))
+    out = tmp_path / "yolo"
+    rc = convert_main(["coco-to-yolo", "--input", str(src),
+                       "--output", str(out), "--val-ratio", "0.5"])
+    assert rc == 0
+    train_label = (out / "labels/train/a.txt").read_text().split()
+    assert train_label[0] == "0"
+    # center-x = (10+10)/100, center-y = (10+15)/50, w = 0.2, h = 0.6
+    assert [float(v) for v in train_label[1:]] == pytest.approx([0.2, 0.5, 0.2, 0.6])
+    assert (out / "labels/val/b.txt").exists()
+    assert "names" in (out / "data.yaml").read_text()
+
+
+def test_dagster_poc_runs_pipeline_body(tmp_path):
+    """The dagster PoC's op body runs the full pipeline from a YAML config
+    (directly when dagster is absent, as in this image)."""
+    import yaml
+
+    from tests.helpers.synthetic_video import write_video
+    from tools.dagster_poc import HAS_DAGSTER, run_full_pipeline
+
+    video = tmp_path / "v.mp4"
+    write_video(video, num_frames=30)
+    cfg = {
+        "video": {"input_path": str(video), "fps": 30,
+                  "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                  "time_compression_ratio": 313.0},
+        "detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                      "device": "cpu", "model_size": "tiny",
+                      "input_height": 96, "input_width": 128,
+                      "dtype": "float32", "use_pallas_attention": False},
+        "transform": {"method": "homography"},
+        "homography": {"matrix": [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]},
+        "zones": [{"id": "zone_a", "name": "A",
+                   "polygon": [[0, 0], [2000, 0], [2000, 1500], [0, 1500]]}],
+        "output": {"directory": str(tmp_path / "out")},
+        "timestamp": {"extraction_mode": "auto_targets",
+                      "auto_targets": {"max_frames": 30,
+                                       "disable_validation": True},
+                      "sampling": {"coarse_interval_seconds": 0.5},
+                      "extraction": {"confidence_threshold": 0.3}},
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    summary_path = Path(run_full_pipeline(str(cfg_path)))
+    assert summary_path.name == "summary.json"
+    summary = json.loads(summary_path.read_text())
+    assert summary["status"] == "completed"
+    assert not HAS_DAGSTER  # this image has no dagster; body ran directly

@@ -5,6 +5,8 @@ Subcommands:
   mot-to-gold   MOTChallenge CSV -> gold tracking-GT JSON
   coco-to-gold  COCO detection GT -> gold tracking-GT JSON (ids from ann ids)
   gold-to-mot   gold tracking-GT JSON -> MOTChallenge CSV
+  coco-to-yolo  COCO detection GT -> YOLO txt labels + data.yaml train/val split
+                (reference tools/convert_coco_to_yolo.py:27-131)
 """
 
 from __future__ import annotations
@@ -82,17 +84,70 @@ def gold_to_mot(gold_path: Path, out_path: Path) -> None:
                 )
 
 
+def coco_to_yolo(
+    coco_path: Path, out_dir: Path, images_dir: Path | None = None, val_ratio: float = 0.2
+) -> None:
+    """COCO -> YOLO dataset layout: images/{train,val}, labels/{train,val},
+    data.yaml; bboxes normalized to center format, single 'person' class
+    (reference tools/convert_coco_to_yolo.py:17-131). Images are copied when
+    ``images_dir`` is given; labels are always written."""
+    import shutil
+
+    doc = json.loads(coco_path.read_text())
+    images_info = {
+        img["id"]: (img["file_name"], img["width"], img["height"])
+        for img in doc.get("images", [])
+    }
+    by_image: dict[int, list] = defaultdict(list)
+    for ann in doc.get("annotations", []):
+        by_image[ann["image_id"]].append(ann["bbox"])
+
+    for sub in ("images/train", "images/val", "labels/train", "labels/val"):
+        (out_dir / sub).mkdir(parents=True, exist_ok=True)
+
+    ids = list(images_info)
+    val_count = max(1, int(len(ids) * val_ratio)) if ids else 0
+    val_ids = set(ids[len(ids) - val_count :])
+
+    for img_id, (file_name, width, height) in images_info.items():
+        split = "val" if img_id in val_ids else "train"
+        lines = []
+        for x, y, w, h in by_image.get(img_id, []):
+            xc, yc = (x + w / 2) / width, (y + h / 2) / height
+            lines.append(f"0 {xc:.6f} {yc:.6f} {w / width:.6f} {h / height:.6f}")
+        label = out_dir / "labels" / split / (Path(file_name).stem + ".txt")
+        label.write_text("\n".join(lines) + ("\n" if lines else ""))
+        if images_dir is not None:
+            src = images_dir / file_name
+            if src.exists():
+                shutil.copy2(src, out_dir / "images" / split / file_name)
+
+    (out_dir / "data.yaml").write_text(
+        f"path: {out_dir.resolve()}\n"
+        "train: images/train\nval: images/val\n"
+        "names:\n  0: person\nnc: 1\n"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="GT format conversion")
-    parser.add_argument("command", choices=["mot-to-gold", "coco-to-gold", "gold-to-mot"])
+    parser.add_argument(
+        "command",
+        choices=["mot-to-gold", "coco-to-gold", "gold-to-mot", "coco-to-yolo"],
+    )
     parser.add_argument("--input", required=True, type=Path)
     parser.add_argument("--output", required=True, type=Path)
+    parser.add_argument("--images", type=Path, default=None, help="coco-to-yolo: image dir to copy")
+    parser.add_argument("--val-ratio", type=float, default=0.2, help="coco-to-yolo: val split")
     args = parser.parse_args(argv)
-    {
-        "mot-to-gold": mot_to_gold,
-        "coco-to-gold": coco_to_gold,
-        "gold-to-mot": gold_to_mot,
-    }[args.command](args.input, args.output)
+    if args.command == "coco-to-yolo":
+        coco_to_yolo(args.input, args.output, args.images, args.val_ratio)
+    else:
+        {
+            "mot-to-gold": mot_to_gold,
+            "coco-to-gold": coco_to_gold,
+            "gold-to-mot": gold_to_mot,
+        }[args.command](args.input, args.output)
     print(f"{args.command}: {args.input} -> {args.output}")
     return 0
 
