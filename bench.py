@@ -37,6 +37,8 @@ def main() -> None:
                 "input_width": 1344,
                 "dtype": "bfloat16",
                 "use_pallas_attention": jax.default_backend() == "tpu",
+                # race bgr vs i420 host->device transfer on the first batch
+                "transfer_format": "auto",
             }
         }
     )

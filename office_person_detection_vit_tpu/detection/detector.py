@@ -47,7 +47,9 @@ class DETRDetector:
         # "i420" ships 1.5 bytes/px instead of 3 over the host->device link
         # (the video source is 4:2:0 anyway, so no extra information loss);
         # the YUV->RGB matrix is fused on-device. Worth enabling when the
-        # link is bandwidth-bound; default "bgr" skips the host cvtColor.
+        # link is bandwidth-bound; "bgr" skips the host cvtColor; "auto"
+        # times both formats on the first real batch and locks in the winner
+        # (the link's effective bandwidth per layout varies by deployment).
         self.transfer_format = str(get("detection.transfer_format", "bgr"))
         if detr_config is None:
             common = dict(
@@ -110,39 +112,75 @@ class DETRDetector:
         model = self.model
         person = self.detr_config.person_class_id
         target_hw = self.input_hw
-        i420 = self.transfer_format == "i420"
-
-        # The confidence threshold is a TRACED scalar, not a baked constant:
-        # changing detection.confidence_threshold between runs must not
-        # recompile (or miss the persistent compilation cache).
-        @jax.jit
-        def _detect(variables, frames_u8, orig_wh, conf):
-            if i420:
-                pixels, mask = preprocess_frames_i420(
-                    frames_u8, target_hw=target_hw,
-                    out_dtype=model.config.jnp_dtype,
-                )
-            else:
-                pixels, mask = preprocess_frames(
-                    frames_u8, target_hw=target_hw,
-                    out_dtype=model.config.jnp_dtype,
-                )
-            out = model.apply(variables, pixels, mask, deterministic=True)
-            batch = postprocess_detr(
-                out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
-            )
-            return batch, out["encoder_output"]
-
-        raw = _detect
         conf_default = self.confidence_threshold
 
-        def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
-            c = jnp.asarray(
-                conf_default if conf is None else conf, jnp.float32
-            )
-            return raw(variables, frames_u8, orig_wh, c)
+        def build(i420: bool):
+            # The confidence threshold is a TRACED scalar, not a baked
+            # constant: changing detection.confidence_threshold between runs
+            # must not recompile (or miss the persistent compilation cache).
+            @jax.jit
+            def _detect(variables, frames_u8, orig_wh, conf):
+                if i420:
+                    pixels, mask = preprocess_frames_i420(
+                        frames_u8, target_hw=target_hw,
+                        out_dtype=model.config.jnp_dtype,
+                    )
+                else:
+                    pixels, mask = preprocess_frames(
+                        frames_u8, target_hw=target_hw,
+                        out_dtype=model.config.jnp_dtype,
+                    )
+                out = model.apply(variables, pixels, mask, deterministic=True)
+                batch = postprocess_detr(
+                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
+                )
+                return batch, out["encoder_output"]
 
-        self._jit_detect = _detect_with_conf
+            def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
+                c = jnp.asarray(
+                    conf_default if conf is None else conf, jnp.float32
+                )
+                return _detect(variables, frames_u8, orig_wh, c)
+
+            return _detect_with_conf
+
+        # One jitted program per transfer format actually in use; "auto"
+        # needs both so the first detect_batch can race them.
+        formats = (
+            ("bgr", "i420") if self.transfer_format == "auto"
+            else (self.transfer_format,)
+        )
+        self._jits = {fmt: build(fmt == "i420") for fmt in formats}
+        self._jit_detect = self._jits[formats[0]]
+
+    def _autotune_transfer(self, frames: np.ndarray) -> str:
+        """Race bgr vs i420 end-to-end on the first real batch and lock in
+        the faster format. The host->device link's effective bandwidth per
+        array layout is deployment-specific (and over a tunnel, bursty), so
+        this is measured, not assumed. Interleaved best-of-3 rounds."""
+        sample = frames[: self.batch_size]
+        F, H, W, _ = sample.shape
+        pad = (-F) % self.batch_size
+        if pad:
+            sample = np.concatenate([sample, np.zeros((pad, H, W, 3), np.uint8)])
+        orig_wh = jnp.asarray([W, H], jnp.float32)
+        payloads = {"bgr": sample, "i420": bgr_to_i420(sample)}
+        best = {fmt: float("inf") for fmt in payloads}
+        for fmt, payload in payloads.items():  # compile/warm both
+            out, _ = self._jits[fmt](self.variables, jnp.asarray(payload), orig_wh)
+            jax.block_until_ready(out.scores)
+        for _ in range(3):
+            for fmt, payload in payloads.items():
+                t0 = time.perf_counter()
+                out, _ = self._jits[fmt](self.variables, jnp.asarray(payload), orig_wh)
+                jax.block_until_ready(out.scores)
+                best[fmt] = min(best[fmt], time.perf_counter() - t0)
+        winner = min(best, key=best.get)
+        logger.info(
+            "transfer autotune: %s (bgr %.1f ms, i420 %.1f ms per batch)",
+            winner, 1e3 * best["bgr"], 1e3 * best["i420"],
+        )
+        return winner
 
     # ---------------------------------------------------------------- detect
     def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
@@ -154,16 +192,18 @@ class DETRDetector:
         pad = (-F) % self.batch_size
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
+        if self.transfer_format in ("i420", "auto") and (H % 4 or W % 2):
+            logger.warning(
+                "i420 transfer unsupported for %dx%d (H%%4/W%%2); using bgr",
+                H, W,
+            )
+            self.transfer_format = "bgr"
+            self._build_jits()
+        if self.transfer_format == "auto":
+            self.transfer_format = self._autotune_transfer(frames)
+            self._jit_detect = self._jits[self.transfer_format]
         if self.transfer_format == "i420":
-            if H % 4 or W % 2:
-                logger.warning(
-                    "i420 transfer unsupported for %dx%d (H%%4/W%%2); using bgr",
-                    H, W,
-                )
-                self.transfer_format = "bgr"
-                self._build_jits()
-            else:
-                frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
+            frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
         orig_wh = jnp.asarray([W, H], jnp.float32)
         t0 = time.perf_counter()
         chunks = []

@@ -76,3 +76,68 @@ def test_detector_i420_vs_bgr_same_detections():
     np.testing.assert_allclose(
         np.asarray(b_i420.scores), np.asarray(b_bgr.scores), atol=0.2
     )
+
+
+def test_detector_auto_transfer_resolves_and_detects(caplog):
+    """transfer_format=auto races both formats on the first batch, locks in
+    a concrete winner, and keeps detecting through the chosen jit."""
+    import logging
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+    from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (2, 72, 96, 3), np.uint8)
+    cfg = ConfigManager.from_dict(
+        {
+            "detection": {
+                "confidence_threshold": 0.0,
+                "batch_size": 2,
+                "input_height": 96,
+                "input_width": 128,
+                "dtype": "float32",
+                "use_pallas_attention": False,
+                "transfer_format": "auto",
+            }
+        }
+    )
+    det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+    det.load_model()
+    assert set(det._jits) == {"bgr", "i420"}
+    with caplog.at_level(logging.INFO):
+        first = det.detect_batch(frames)
+    assert det.transfer_format in ("bgr", "i420")
+    assert any("transfer autotune" in r.message for r in caplog.records)
+    # second call goes straight through the locked-in jit
+    second = det.detect_batch(frames)
+    np.testing.assert_allclose(
+        np.asarray(first.scores), np.asarray(second.scores), atol=1e-6
+    )
+
+
+def test_detector_auto_falls_back_to_bgr_for_odd_shapes():
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+    from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 71, 95, 3), np.uint8)  # H%4, W%2 != 0
+    cfg = ConfigManager.from_dict(
+        {
+            "detection": {
+                "confidence_threshold": 0.0,
+                "batch_size": 2,
+                "input_height": 96,
+                "input_width": 128,
+                "dtype": "float32",
+                "use_pallas_attention": False,
+                "transfer_format": "auto",
+            }
+        }
+    )
+    det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+    det.load_model()
+    out = det.detect_batch(frames)
+    assert det.transfer_format == "bgr"
+    assert out.scores.shape[0] == 2
