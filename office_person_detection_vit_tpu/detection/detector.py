@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -29,6 +30,34 @@ from ..ops.preprocessing import bgr_to_i420, preprocess_frames, preprocess_frame
 from .features import crop_histogram_features, roi_mean_pool
 
 logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames="n")
+def _jit_take(batch: DetectionBatch, n: int) -> DetectionBatch:
+    """Strip padding rows in one program dispatch."""
+    return DetectionBatch(
+        boxes_xywh=batch.boxes_xywh[:n],
+        scores=batch.scores[:n],
+        valid=batch.valid[:n],
+        foot=batch.foot[:n],
+    )
+
+
+@partial(jax.jit, static_argnames="n")
+def _jit_merge(chunks: tuple[DetectionBatch, ...], n: int) -> DetectionBatch:
+    """Concatenate per-chunk DetectionBatches and strip padding — a single
+    program dispatch instead of one eager concatenate/slice per field."""
+    return DetectionBatch(
+        boxes_xywh=jnp.concatenate([c.boxes_xywh for c in chunks])[:n],
+        scores=jnp.concatenate([c.scores for c in chunks])[:n],
+        valid=jnp.concatenate([c.valid for c in chunks])[:n],
+        foot=jnp.concatenate([c.foot for c in chunks])[:n],
+    )
+
+
+@partial(jax.jit, static_argnames="n")
+def _jit_concat_take(arrays: tuple[jax.Array, ...], n: int) -> jax.Array:
+    return jnp.concatenate(arrays)[:n]
 
 
 class DETRDetector:
@@ -70,6 +99,9 @@ class DETRDetector:
         self._jit_detect = None
         self._jit_features = None
         self.last_inference_time = 0.0
+        self._last_encoder_chunks: list = []
+        self._last_encoder_output = None
+        self._last_frame_count = 0
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -137,9 +169,9 @@ class DETRDetector:
                 return batch, out["encoder_output"]
 
             def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
-                c = jnp.asarray(
-                    conf_default if conf is None else conf, jnp.float32
-                )
+                # np scalar, not jnp: its transfer rides the jit call instead
+                # of being a separate eager dispatch.
+                c = np.float32(conf_default if conf is None else conf)
                 return _detect(variables, frames_u8, orig_wh, c)
 
             return _detect_with_conf
@@ -163,17 +195,17 @@ class DETRDetector:
         pad = (-F) % self.batch_size
         if pad:
             sample = np.concatenate([sample, np.zeros((pad, H, W, 3), np.uint8)])
-        orig_wh = jnp.asarray([W, H], jnp.float32)
+        orig_wh = np.asarray([W, H], np.float32)
         payloads = {"bgr": sample, "i420": bgr_to_i420(sample)}
         best = {fmt: float("inf") for fmt in payloads}
         for fmt, payload in payloads.items():  # compile/warm both
-            out, _ = self._jits[fmt](self.variables, jnp.asarray(payload), orig_wh)
-            jax.block_until_ready(out.scores)
+            out, _ = self._jits[fmt](self.variables, payload, orig_wh)
+            np.asarray(out.scores)  # host fetch = the only honest sync
         for _ in range(3):
             for fmt, payload in payloads.items():
                 t0 = time.perf_counter()
-                out, _ = self._jits[fmt](self.variables, jnp.asarray(payload), orig_wh)
-                jax.block_until_ready(out.scores)
+                out, _ = self._jits[fmt](self.variables, payload, orig_wh)
+                np.asarray(out.scores)
                 best[fmt] = min(best[fmt], time.perf_counter() - t0)
         winner = min(best, key=best.get)
         logger.info(
@@ -204,25 +236,30 @@ class DETRDetector:
             self._jit_detect = self._jits[self.transfer_format]
         if self.transfer_format == "i420":
             frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
-        orig_wh = jnp.asarray([W, H], jnp.float32)
+        # Dispatch hygiene: over a remote-device link every EAGER op
+        # (jnp.asarray of a scalar, concatenate, slice) is its own ~10-100 ms
+        # round trip, which can dwarf the model itself. The hot path
+        # therefore issues exactly ONE program dispatch per chunk (the jit;
+        # its argument transfer rides the same call) and one jitted merge
+        # when there are multiple chunks — no eager device ops.
+        orig_wh = np.asarray([W, H], np.float32)
         t0 = time.perf_counter()
         chunks = []
         encs = []
         for i in range(0, len(frames), self.batch_size):
             batch, enc = self._jit_detect(
-                self.variables, jnp.asarray(frames[i : i + self.batch_size]), orig_wh
+                self.variables, frames[i : i + self.batch_size], orig_wh
             )
             chunks.append(batch)
             encs.append(enc)
-        jax.block_until_ready(chunks[-1].scores)
-        self.last_inference_time = time.perf_counter() - t0
-        merged = DetectionBatch(
-            boxes_xywh=jnp.concatenate([c.boxes_xywh for c in chunks])[:F],
-            scores=jnp.concatenate([c.scores for c in chunks])[:F],
-            valid=jnp.concatenate([c.valid for c in chunks])[:F],
-            foot=jnp.concatenate([c.foot for c in chunks])[:F],
-        )
-        self._last_encoder_output = jnp.concatenate(encs)[:F]
+        self.last_inference_time = time.perf_counter() - t0  # dispatch time
+        if len(chunks) == 1:
+            merged = chunks[0] if pad == 0 else _jit_take(chunks[0], F)
+        else:
+            merged = _jit_merge(tuple(chunks), F)
+        self._last_encoder_chunks = encs
+        self._last_frame_count = F
+        self._last_encoder_output = None  # materialized lazily by features
         self._last_orig_wh = (W, H)
         return merged
 
@@ -247,6 +284,12 @@ class DETRDetector:
         fh = self.input_hw[0] // 32
         fw = self.input_hw[1] // 32
         W, H = self._last_orig_wh
+        if self._last_encoder_output is None:
+            encs = self._last_encoder_chunks
+            self._last_encoder_output = (
+                encs[0] if len(encs) == 1 and encs[0].shape[0] == self._last_frame_count
+                else _jit_concat_take(tuple(encs), self._last_frame_count)
+            )
         # The valid (non-letterbox) region of the feature grid corresponds to
         # the resized image; scale original pixels into that region.
         from ..ops.preprocessing import compute_resize_geometry
@@ -259,7 +302,7 @@ class DETRDetector:
             (fh, fw),
             batch.boxes_xywh,
             batch.valid,
-            jnp.asarray([eff_w, eff_h], jnp.float32),
+            np.asarray([eff_w, eff_h], np.float32),
         )
 
     def extract_features(
@@ -281,7 +324,7 @@ class DETRDetector:
         cfg = dataclasses.replace(self.detr_config, use_pallas_attention=False)
         model = DETR(cfg, sow_attn=True)
         pixels, mask = preprocess_frames(
-            jnp.asarray(frame[None]), target_hw=self.input_hw,
+            frame[None], target_hw=self.input_hw,
             out_dtype=cfg.jnp_dtype,
         )
         _, state = model.apply(
