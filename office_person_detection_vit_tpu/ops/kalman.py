@@ -108,3 +108,54 @@ def kf_position(state: KFState) -> Array:
 
 def kf_velocity(state: KFState) -> Array:
     return state.x[..., 2:]
+
+
+# ---------------------------------------------------------------- numpy twin
+# Online trackers update one 4-dim filter per track inside a host Python
+# loop; on a remote-device backend every eager jnp op there is a network
+# round trip that dwarfs the arithmetic. These numpy mirrors keep the
+# per-track path on host ("host code only at I/O edges"); the jitted/vmapped
+# forms above remain the device path for batched track tables.
+
+import numpy as _np  # noqa: E402  (kept local to the twin section)
+
+
+def kf_init_np(pos, init_velocity_var: float = DEFAULT_INIT_VELOCITY_VAR) -> KFState:
+    pos = _np.asarray(pos, _np.float32)
+    x = _np.concatenate([pos, _np.zeros(2, _np.float32)])
+    P = _np.diag(_np.asarray([10.0, 10.0, init_velocity_var, init_velocity_var], _np.float32))
+    return KFState(x=x, P=P)
+
+
+def _transition_np(dt: float) -> tuple[_np.ndarray, _np.ndarray]:
+    dt = float(dt)
+    F = _np.eye(4, dtype=_np.float32)
+    F[0, 2] = dt
+    F[1, 3] = dt
+    dt2 = dt * dt
+    dt3 = dt2 * dt / 2.0
+    dt4 = dt2 * dt2 / 4.0
+    q = DEFAULT_PROCESS_NOISE
+    Q = _np.zeros((4, 4), _np.float32)
+    Q[0, 0] = Q[1, 1] = dt4 * q
+    Q[0, 2] = Q[2, 0] = Q[1, 3] = Q[3, 1] = dt3 * q
+    Q[2, 2] = Q[3, 3] = dt2 * q
+    return F, Q
+
+
+def kf_predict_np(state: KFState, dt: float = 1.0) -> KFState:
+    F, Q = _transition_np(dt)
+    return KFState(x=F @ state.x, P=F @ state.P @ F.T + Q)
+
+
+def kf_update_np(state: KFState, z, meas_noise: float = DEFAULT_MEASUREMENT_NOISE) -> KFState:
+    z = _np.asarray(z, _np.float32)
+    H = _np.zeros((2, 4), _np.float32)
+    H[0, 0] = H[1, 1] = 1.0
+    R = _np.eye(2, dtype=_np.float32) * meas_noise
+    y = z - H @ state.x
+    S = H @ state.P @ H.T + R
+    K = state.P @ H.T @ _np.linalg.inv(S)
+    x = state.x + K @ y
+    P = (_np.eye(4, dtype=_np.float32) - K @ H) @ state.P
+    return KFState(x=x, P=P)

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import logging
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.dto import Detection
@@ -36,7 +35,7 @@ class _LightTrack:
         self.bbox = tuple(det.bbox)
         self.confidence = float(det.confidence)
         cx, cy = det.center
-        self.kf = kalman.kf_init(jnp.asarray([cx, cy], jnp.float32))
+        self.kf = kalman.kf_init_np(np.asarray([cx, cy], np.float32))
         self.time_since_update = 0
         self.hits = 1
         self.trajectory: list[tuple[float, tuple[float, float, float, float]]] = [
@@ -120,8 +119,8 @@ class LightweightTracker:
             t.bbox = tuple(det.bbox)
             t.confidence = float(det.confidence)
             cx, cy = det.center
-            t.kf = kalman.kf_predict(t.kf, jnp.asarray(1.0, jnp.float32))
-            t.kf = kalman.kf_update(t.kf, jnp.asarray([cx, cy], jnp.float32))
+            t.kf = kalman.kf_predict_np(t.kf, 1.0)
+            t.kf = kalman.kf_update_np(t.kf, np.asarray([cx, cy], np.float32))
             t.time_since_update = 0
             t.hits += 1
             t.trajectory.append((timestamp, t.bbox))
@@ -162,10 +161,10 @@ class LightweightTracker:
                 # Keep the Kalman state in sync with the flow-tracked motion
                 # — otherwise a later flow failure snaps the box back to the
                 # stale last-detection position.
-                t.kf = kalman.kf_predict(t.kf, jnp.asarray(1.0, jnp.float32))
-                t.kf = kalman.kf_update(t.kf, jnp.asarray([cx, cy], jnp.float32))
+                t.kf = kalman.kf_predict_np(t.kf, 1.0)
+                t.kf = kalman.kf_update_np(t.kf, np.asarray([cx, cy], np.float32))
             else:
-                t.kf = kalman.kf_predict(t.kf, jnp.asarray(1.0, jnp.float32))
+                t.kf = kalman.kf_predict_np(t.kf, 1.0)
                 pos = np.asarray(kalman.kf_position(t.kf))
                 cx, cy = float(pos[0]), float(pos[1])
             t.shift_to(cx, cy, timestamp, interpolated=True)

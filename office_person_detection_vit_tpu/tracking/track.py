@@ -14,7 +14,6 @@ from __future__ import annotations
 from collections import deque
 from enum import Enum
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.dto import Detection
@@ -45,7 +44,7 @@ class Track:
         self.confidence = float(detection.confidence)
         self.min_hits = min_hits
         cx, cy = detection.center
-        self.kf = kalman.kf_init(jnp.asarray([cx, cy], jnp.float32))
+        self.kf = kalman.kf_init_np(np.asarray([cx, cy], np.float32))
         self.hits = 1
         self.age = 1
         self.time_since_update = 0
@@ -84,7 +83,7 @@ class Track:
         if timestamp is not None:
             dt = max(float(timestamp) - self.last_predict_time, 1e-3)
             self.last_predict_time = float(timestamp)
-        self.kf = kalman.kf_predict(self.kf, jnp.asarray(dt, jnp.float32))
+        self.kf = kalman.kf_predict_np(self.kf, dt)
         self.age += 1
         self.time_since_update += 1
 
@@ -98,7 +97,7 @@ class Track:
         cx, cy = detection.center
         if self.time_since_update >= ORU_MIN_GAP:
             self._apply_oru((cx, cy), ts)
-        self.kf = kalman.kf_update(self.kf, jnp.asarray([cx, cy], jnp.float32))
+        self.kf = kalman.kf_update_np(self.kf, np.asarray([cx, cy], np.float32))
         self.bbox = tuple(detection.bbox)
         self.confidence = float(detection.confidence)
         if detection.feature is not None:
@@ -120,14 +119,14 @@ class Track:
         # Re-anchor the filter at the last real observation, then walk the
         # virtual trajectory with unit steps (the reference replays through
         # predict+update per virtual frame).
-        self.kf = kalman.kf_init(jnp.asarray([x0, y0], jnp.float32))
+        self.kf = kalman.kf_init_np(np.asarray([x0, y0], np.float32))
         for i in range(1, gap):
             f = i / gap
             vx = x0 + (x1 - x0) * f
             vy = y0 + (y1 - y0) * f
-            self.kf = kalman.kf_predict(self.kf, jnp.asarray(1.0, jnp.float32))
-            self.kf = kalman.kf_update(self.kf, jnp.asarray([vx, vy], jnp.float32))
-        self.kf = kalman.kf_predict(self.kf, jnp.asarray(1.0, jnp.float32))
+            self.kf = kalman.kf_predict_np(self.kf, 1.0)
+            self.kf = kalman.kf_update_np(self.kf, np.asarray([vx, vy], np.float32))
+        self.kf = kalman.kf_predict_np(self.kf, 1.0)
 
     def mark_missed(self, max_age: int) -> None:
         if self.state == TrackState.TENTATIVE:

@@ -67,3 +67,27 @@ def test_kf_update_batch_default_noise():
     states = jax.vmap(kalman.kf_init)(jnp.asarray([[0.0, 0.0], [5.0, 5.0]]))
     out = kalman.kf_update_batch(states, jnp.asarray([[1.0, 1.0], [6.0, 6.0]]))
     assert out.x.shape == (2, 4)
+
+
+class TestNumpyTwins:
+    """The host-side numpy mirrors must match the jitted forms exactly
+    (online trackers use them to avoid per-track device round trips)."""
+
+    def test_predict_update_parity(self):
+        import numpy as np
+
+        from office_person_detection_vit_tpu.ops import kalman
+
+        s_np = kalman.kf_init_np(np.asarray([10.0, 20.0], np.float32))
+        s_j = kalman.kf_init(jnp.asarray([10.0, 20.0], jnp.float32))
+        np.testing.assert_allclose(s_np.x, np.asarray(s_j.x), rtol=1e-6)
+        np.testing.assert_allclose(s_np.P, np.asarray(s_j.P), rtol=1e-6)
+        for dt, z in [(1.0, [12.0, 21.0]), (2.5, [15.5, 23.0]), (0.5, [16.0, 23.5])]:
+            s_np = kalman.kf_predict_np(s_np, dt)
+            s_j = kalman.kf_predict(s_j, jnp.asarray(dt, jnp.float32))
+            np.testing.assert_allclose(s_np.x, np.asarray(s_j.x), rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(s_np.P, np.asarray(s_j.P), rtol=1e-4, atol=1e-4)
+            s_np = kalman.kf_update_np(s_np, np.asarray(z, np.float32))
+            s_j = kalman.kf_update(s_j, jnp.asarray(z, jnp.float32))
+            np.testing.assert_allclose(s_np.x, np.asarray(s_j.x), rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(s_np.P, np.asarray(s_j.P), rtol=1e-4, atol=1e-4)

@@ -190,3 +190,19 @@ def test_lightweight_optical_flow_on_synthetic_motion():
     tracks = lt.interpolate(frame=f1, timestamp=1.0)
     cx = tracks[0].bbox[0] + tracks[0].bbox[2] / 2
     assert 125 < cx < 136  # flowed ~10px right from center 120
+
+
+def test_similarity_iou_matches_device_ops():
+    """Host numpy IoU must match the jitted ops/boxes IoU bit-for-bit-ish."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from office_person_detection_vit_tpu.ops import boxes as box_ops
+    from office_person_detection_vit_tpu.tracking.similarity import SimilarityCalculator
+
+    rng = np.random.default_rng(0)
+    a = np.concatenate([rng.uniform(0, 500, (12, 2)), rng.uniform(5, 100, (12, 2))], 1).astype(np.float32)
+    b = np.concatenate([rng.uniform(0, 500, (9, 2)), rng.uniform(5, 100, (9, 2))], 1).astype(np.float32)
+    host = SimilarityCalculator.iou_matrix(a, b)
+    dev = np.asarray(box_ops.iou_matrix_xywh(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(host, dev, atol=1e-5)
