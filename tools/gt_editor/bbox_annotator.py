@@ -1,11 +1,12 @@
-"""Interactive ground-truth bbox editor (analog of reference tools/gt_editor/).
+"""Per-image bbox GT annotator (the simple half of the reference gt_editor;
+the full interactive TRACK editor is tools/gt_editor/editor.py).
 
 OpenCV-window annotator over an image directory producing COCO-format GT:
 drag to draw a person box, keys: u=undo, n/space=next image, p=prev,
 t=cycle track-id for tracking GT, s=save, q=save+quit.
 
 Usage:
-  python tools/gt_editor.py --images DIR --output gt.json [--resume gt.json]
+  python tools/gt_editor/bbox_annotator.py --images DIR --output gt.json [--resume gt.json]
 
 Headless environments can't run this (it needs a display); the conversion
 tools (tools/convert_gt.py) cover scripted GT workflows.
