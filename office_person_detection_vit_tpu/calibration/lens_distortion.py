@@ -32,8 +32,13 @@ class DistortionParams:
 
     @classmethod
     def from_config(cls, cfg: Any, prefix: str = "transform.lens_distortion") -> "DistortionParams":
+        """Read Brown params. Accepts this framework's
+        ``transform.lens_distortion.*`` flat keys and, as a drop-in alias,
+        the reference's split ``calibration.distortion.{k1,k2,k3,p1,p2}`` +
+        ``calibration.intrinsics.{focal_length_*, principal_point_*,
+        image_*}`` layout (reference config.yaml calibration section)."""
         g = lambda k, d: cfg.get(f"{prefix}.{k}", d)
-        return cls(
+        flat = cls(
             k1=float(g("k1", 0.0)), k2=float(g("k2", 0.0)), k3=float(g("k3", 0.0)),
             p1=float(g("p1", 0.0)), p2=float(g("p2", 0.0)),
             focal_length_x=float(g("focal_length_x", 1250.0)),
@@ -41,6 +46,23 @@ class DistortionParams:
             center_x=float(g("center_x", 640.0)), center_y=float(g("center_y", 360.0)),
             image_width=int(g("image_width", 1280)), image_height=int(g("image_height", 720)),
         )
+        # Flat layout wins when it carries information; otherwise fall back
+        # to the reference's calibration layout (ConfigManager backfills
+        # identity defaults for the flat keys, so "all default" = unset).
+        if flat == cls() and cfg.get("calibration.distortion") is not None:
+            d = lambda k, v: cfg.get(f"calibration.distortion.{k}", v)
+            i = lambda k, v: cfg.get(f"calibration.intrinsics.{k}", v)
+            return cls(
+                k1=float(d("k1", 0.0)), k2=float(d("k2", 0.0)), k3=float(d("k3", 0.0)),
+                p1=float(d("p1", 0.0)), p2=float(d("p2", 0.0)),
+                focal_length_x=float(i("focal_length_x", 1250.0)),
+                focal_length_y=float(i("focal_length_y", 1250.0)),
+                center_x=float(i("principal_point_x", 640.0)),
+                center_y=float(i("principal_point_y", 360.0)),
+                image_width=int(i("image_width", 1280)),
+                image_height=int(i("image_height", 720)),
+            )
+        return flat
 
     @property
     def camera_matrix(self) -> np.ndarray:

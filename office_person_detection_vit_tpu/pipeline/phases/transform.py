@@ -38,7 +38,9 @@ class TransformPhase(BasePhase):
 
     def initialize(self) -> None:
         """(reference :222-255; distortion init :64-125)"""
-        if self.config.get("transform.lens_distortion.enabled", False):
+        if self.config.get("transform.lens_distortion.enabled", False) or self.config.get(
+            "calibration.use_distortion_correction", False
+        ):
             self.undistorter = LensDistortionCorrector.from_config(self.config)
             if self.undistorter.params.is_identity:
                 self.logger.info("lens distortion params are identity; disabled")

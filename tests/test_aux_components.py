@@ -361,3 +361,61 @@ class TestHTMLReport:
         rc = main(["--session", str(s)])
         assert rc == 0
         assert (s / "report.html").exists()
+
+
+class TestCalibrationConfigAlias:
+    """The reference's calibration.{distortion,intrinsics} layout works as a
+    drop-in alias for transform.lens_distortion (reference config.yaml)."""
+
+    def test_distortion_params_from_reference_layout(self):
+        from office_person_detection_vit_tpu.calibration.lens_distortion import (
+            DistortionParams,
+        )
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+
+        cfg = ConfigManager.from_dict({
+            "calibration": {
+                "use_distortion_correction": True,
+                "distortion": {"k1": -0.1, "k2": 0.01, "k3": 0.0, "p1": 0.001, "p2": 0.0},
+                "intrinsics": {"focal_length_x": 1000.0, "focal_length_y": 990.0,
+                               "principal_point_x": 600.0, "principal_point_y": 350.0,
+                               "image_width": 1280, "image_height": 720},
+            },
+        })
+        p = DistortionParams.from_config(cfg)
+        assert (p.k1, p.p1) == (-0.1, 0.001)
+        assert (p.focal_length_x, p.center_x, p.center_y) == (1000.0, 600.0, 350.0)
+        assert not p.is_identity
+
+    def test_flat_layout_wins_when_present(self):
+        from office_person_detection_vit_tpu.calibration.lens_distortion import (
+            DistortionParams,
+        )
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+
+        cfg = ConfigManager.from_dict({
+            "transform": {"lens_distortion": {"k1": -0.2}},
+            "calibration": {"distortion": {"k1": -0.9}},
+        })
+        assert DistortionParams.from_config(cfg).k1 == -0.2
+
+    def test_transform_phase_honors_reference_flag(self):
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+        from office_person_detection_vit_tpu.pipeline.phases.transform import (
+            TransformPhase,
+        )
+
+        cfg = ConfigManager.from_dict({
+            "transform": {"method": "homography"},
+            "homography": {"matrix": [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]},
+            "calibration": {
+                "use_distortion_correction": True,
+                "distortion": {"k1": -0.1, "k2": 0.0, "k3": 0.0, "p1": 0.0, "p2": 0.0},
+                "intrinsics": {"focal_length_x": 1000.0, "focal_length_y": 1000.0,
+                               "principal_point_x": 640.0, "principal_point_y": 360.0,
+                               "image_width": 1280, "image_height": 720},
+            },
+        })
+        phase = TransformPhase(cfg)
+        phase.initialize()
+        assert phase.undistorter is not None
