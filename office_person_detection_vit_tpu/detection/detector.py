@@ -32,32 +32,21 @@ from .features import crop_histogram_features, roi_mean_pool
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames="n")
-def _jit_take(batch: DetectionBatch, n: int) -> DetectionBatch:
-    """Strip padding rows in one program dispatch."""
-    return DetectionBatch(
-        boxes_xywh=batch.boxes_xywh[:n],
-        scores=batch.scores[:n],
-        valid=batch.valid[:n],
-        foot=batch.foot[:n],
-    )
+def _host_merge(chunks: list[DetectionBatch], n: int) -> DetectionBatch:
+    """Materialize per-chunk results on host and strip padding in numpy.
 
-
-@partial(jax.jit, static_argnames="n")
-def _jit_merge(chunks: tuple[DetectionBatch, ...], n: int) -> DetectionBatch:
-    """Concatenate per-chunk DetectionBatches and strip padding — a single
-    program dispatch instead of one eager concatenate/slice per field."""
-    return DetectionBatch(
-        boxes_xywh=jnp.concatenate([c.boxes_xywh for c in chunks])[:n],
-        scores=jnp.concatenate([c.scores for c in chunks])[:n],
-        valid=jnp.concatenate([c.valid for c in chunks])[:n],
-        foot=jnp.concatenate([c.foot for c in chunks])[:n],
-    )
-
-
-@partial(jax.jit, static_argnames="n")
-def _jit_concat_take(arrays: tuple[jax.Array, ...], n: int) -> jax.Array:
-    return jnp.concatenate(arrays)[:n]
+    Deliberately NOT a jit: slicing to the caller's frame count would bake a
+    static shape per distinct n, and over a remote-device backend every new
+    program is a fresh compile (tens of seconds — docs/performance.md
+    "dispatch hygiene"). Partial/multi-chunk callers consume results on host
+    immediately anyway; the full-batch fast path in detect_batch returns
+    device arrays untouched.
+    """
+    fields = {}
+    for name in ("boxes_xywh", "scores", "valid", "foot"):
+        parts = [np.asarray(getattr(c, name)) for c in chunks]
+        fields[name] = (parts[0] if len(parts) == 1 else np.concatenate(parts))[:n]
+    return DetectionBatch(**fields)
 
 
 class DETRDetector:
@@ -254,9 +243,11 @@ class DETRDetector:
             encs.append(enc)
         self.last_inference_time = time.perf_counter() - t0  # dispatch time
         if len(chunks) == 1:
-            merged = chunks[0] if pad == 0 else _jit_take(chunks[0], F)
+            # Fast path: full batch -> device arrays untouched (lets
+            # callers pipeline dispatch/fetch). Otherwise strip on host.
+            merged = chunks[0] if pad == 0 else _host_merge(chunks, F)
         else:
-            merged = _jit_merge(tuple(chunks), F)
+            merged = _host_merge(chunks, F)
         self._last_encoder_chunks = encs
         self._last_frame_count = F
         self._last_encoder_output = None  # materialized lazily by features
@@ -286,10 +277,12 @@ class DETRDetector:
         W, H = self._last_orig_wh
         if self._last_encoder_output is None:
             encs = self._last_encoder_chunks
-            self._last_encoder_output = (
-                encs[0] if len(encs) == 1 and encs[0].shape[0] == self._last_frame_count
-                else _jit_concat_take(tuple(encs), self._last_frame_count)
-            )
+            if len(encs) == 1 and encs[0].shape[0] == self._last_frame_count:
+                self._last_encoder_output = encs[0]
+            else:  # host concat+strip: avoids per-shape program compiles
+                self._last_encoder_output = np.concatenate(
+                    [np.asarray(e) for e in encs]
+                )[: self._last_frame_count]
         # The valid (non-letterbox) region of the feature grid corresponds to
         # the resized image; scale original pixels into that region.
         from ..ops.preprocessing import compute_resize_geometry

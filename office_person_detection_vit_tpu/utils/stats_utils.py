@@ -1,43 +1,44 @@
 """Detection statistics (reference src/utils/stats_utils.py:24).
 
-The whole run's statistics are computed as one set of masked jnp reductions
-over the fixed-shape ``DetectionBatch`` (SURVEY.md §2.1 DetectionPhase →
-"stats via jnp reductions") instead of the reference's per-frame Python loop.
+The whole run's statistics are one set of masked vectorized reductions over
+the fixed-shape ``DetectionBatch`` instead of the reference's per-frame
+Python loop. They run in HOST numpy: (F, Q) is tiny, the batch arrays are
+materialized for export anyway, and a jitted version would compile a fresh
+program for every distinct run length F (which a remote-device backend turns
+into tens of seconds — docs/performance.md "dispatch hygiene").
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 from ..core.dto import DetectionBatch, FrameResult
 
 
-@jax.jit
-def _batch_stats(scores: jax.Array, valid: jax.Array) -> dict[str, jax.Array]:
-    validf = valid.astype(jnp.float32)
-    per_frame = jnp.sum(validf, axis=1)  # (F,)
-    total = jnp.sum(per_frame)
-    conf_sum = jnp.sum(scores * validf)
-    safe_total = jnp.maximum(total, 1.0)
+def _batch_stats(scores: np.ndarray, valid: np.ndarray) -> dict[str, Any]:
+    validf = valid.astype(np.float32)
+    per_frame = validf.sum(axis=1)  # (F,)
+    total = per_frame.sum()
+    conf_sum = float((scores * validf).sum())
+    safe_total = max(total, 1.0)
     mean_conf = conf_sum / safe_total
-    var = jnp.sum(validf * (scores - mean_conf) ** 2) / safe_total
+    var = float((validf * (scores - mean_conf) ** 2).sum()) / safe_total
     return {
         "total": total,
-        "per_frame_mean": jnp.mean(per_frame),
-        "per_frame_max": jnp.max(per_frame),
-        "per_frame_min": jnp.min(per_frame),
+        "per_frame_mean": per_frame.mean(),
+        "per_frame_max": per_frame.max(),
+        "per_frame_min": per_frame.min(),
         "conf_mean": mean_conf,
-        "conf_std": jnp.sqrt(var),
-        "conf_min": jnp.min(jnp.where(valid, scores, jnp.inf)),
-        "conf_max": jnp.max(jnp.where(valid, scores, -jnp.inf)),
+        "conf_std": float(np.sqrt(var)),
+        "conf_min": float(np.where(valid, scores, np.inf).min()),
+        "conf_max": float(np.where(valid, scores, -np.inf).max()),
     }
 
 
 def calculate_detection_statistics(batch: DetectionBatch) -> dict[str, Any]:
-    """One jitted reduction over (F, Q) -> host dict for detection_statistics.json."""
+    """One vectorized reduction over (F, Q) -> host dict for detection_statistics.json."""
     if batch.num_frames == 0:
         return {
             "total_frames": 0,
@@ -47,7 +48,7 @@ def calculate_detection_statistics(batch: DetectionBatch) -> dict[str, Any]:
             "min_detections_per_frame": 0,
             "confidence": {"mean": 0.0, "std": 0.0, "min": 0.0, "max": 0.0},
         }
-    stats = jax.device_get(_batch_stats(jnp.asarray(batch.scores), jnp.asarray(batch.valid)))
+    stats = _batch_stats(np.asarray(batch.scores), np.asarray(batch.valid))
     total = int(stats["total"])
     out = {
         "total_frames": int(batch.num_frames),
