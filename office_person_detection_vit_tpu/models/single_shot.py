@@ -20,6 +20,7 @@ same jitted program as the forward pass.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import flax.linen as nn
 import jax
@@ -212,7 +213,9 @@ def decode_single_shot(
 
 def init_single_shot(config: SingleShotConfig, rng, input_hw=(128, 160)):
     model = SingleShotDetector(config)
-    variables = model.init(
-        rng, jnp.zeros((1, *input_hw, 3), jnp.float32), deterministic=True
+    # One jitted init program (not eager): see models/detr.py init_detr —
+    # eager flax init is hundreds of per-op dispatches on a remote backend.
+    variables = jax.jit(partial(model.init, deterministic=True))(
+        rng, jnp.zeros((1, *input_hw, 3), jnp.float32)
     )
     return model, variables

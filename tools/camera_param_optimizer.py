@@ -41,16 +41,19 @@ def load_correspondences(path: Path) -> tuple[np.ndarray, np.ndarray]:
 
 
 def fit_homography_dlt(cam: np.ndarray, floor: np.ndarray) -> np.ndarray:
-    """Closed-form DLT initialization (normalized least squares)."""
-    import cv2
+    """Closed-form DLT initialization (normalized least squares) via the
+    framework's jitted SVD solver (ops/homography_fit.py)."""
+    from office_person_detection_vit_tpu.ops.homography_fit import (
+        fit_homography_dlt as dlt,
+    )
 
-    H, _ = cv2.findHomography(cam.astype(np.float64), floor.astype(np.float64), 0)
-    if H is None:
+    H = np.asarray(dlt(cam, floor), np.float64)
+    if not np.isfinite(H).all():
         raise ValueError(
             "degenerate correspondences (collinear or duplicate points) — "
             "cannot fit a homography"
         )
-    return np.asarray(H, np.float64)
+    return H
 
 
 def _normalizer(points: np.ndarray) -> np.ndarray:
