@@ -46,21 +46,26 @@ class DistortionParams:
             center_x=float(g("center_x", 640.0)), center_y=float(g("center_y", 360.0)),
             image_width=int(g("image_width", 1280)), image_height=int(g("image_height", 720)),
         )
-        # Flat layout wins when it carries information; otherwise fall back
-        # to the reference's calibration layout (ConfigManager backfills
-        # identity defaults for the flat keys, so "all default" = unset).
-        if flat == cls() and cfg.get("calibration.distortion") is not None:
+        # The flat layout wins when its distortion COEFFICIENTS carry
+        # information; otherwise coefficients come from the reference's
+        # calibration layout (ConfigManager backfills identity defaults for
+        # the flat keys, so "all zero" = unset). Intrinsics prefer
+        # calibration.intrinsics when present, else the flat values — a
+        # config may legitimately set flat intrinsics alongside
+        # calibration-layout coefficients.
+        flat_coeffs_set = any((flat.k1, flat.k2, flat.k3, flat.p1, flat.p2))
+        if not flat_coeffs_set and cfg.get("calibration.distortion") is not None:
             d = lambda k, v: cfg.get(f"calibration.distortion.{k}", v)
             i = lambda k, v: cfg.get(f"calibration.intrinsics.{k}", v)
             return cls(
                 k1=float(d("k1", 0.0)), k2=float(d("k2", 0.0)), k3=float(d("k3", 0.0)),
                 p1=float(d("p1", 0.0)), p2=float(d("p2", 0.0)),
-                focal_length_x=float(i("focal_length_x", 1250.0)),
-                focal_length_y=float(i("focal_length_y", 1250.0)),
-                center_x=float(i("principal_point_x", 640.0)),
-                center_y=float(i("principal_point_y", 360.0)),
-                image_width=int(i("image_width", 1280)),
-                image_height=int(i("image_height", 720)),
+                focal_length_x=float(i("focal_length_x", flat.focal_length_x)),
+                focal_length_y=float(i("focal_length_y", flat.focal_length_y)),
+                center_x=float(i("principal_point_x", flat.center_x)),
+                center_y=float(i("principal_point_y", flat.center_y)),
+                image_width=int(i("image_width", flat.image_width)),
+                image_height=int(i("image_height", flat.image_height)),
             )
         return flat
 

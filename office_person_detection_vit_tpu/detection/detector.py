@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -179,11 +178,10 @@ class DETRDetector:
         the faster format. The host->device link's effective bandwidth per
         array layout is deployment-specific (and over a tunnel, bursty), so
         this is measured, not assumed. Interleaved best-of-3 rounds."""
+        # Caller (detect_batch) has already padded frames to a batch-size
+        # multiple, so the sample is exactly one full batch.
         sample = frames[: self.batch_size]
-        F, H, W, _ = sample.shape
-        pad = (-F) % self.batch_size
-        if pad:
-            sample = np.concatenate([sample, np.zeros((pad, H, W, 3), np.uint8)])
+        _, H, W, _ = sample.shape
         orig_wh = np.asarray([W, H], np.float32)
         payloads = {"bgr": sample, "i420": bgr_to_i420(sample)}
         best = {fmt: float("inf") for fmt in payloads}
@@ -229,8 +227,9 @@ class DETRDetector:
         # (jnp.asarray of a scalar, concatenate, slice) is its own ~10-100 ms
         # round trip, which can dwarf the model itself. The hot path
         # therefore issues exactly ONE program dispatch per chunk (the jit;
-        # its argument transfer rides the same call) and one jitted merge
-        # when there are multiple chunks — no eager device ops.
+        # its argument transfer rides the same call); padding is stripped /
+        # chunks merged on HOST in numpy (_host_merge) because a jitted
+        # strip would compile a fresh program per distinct frame count.
         orig_wh = np.asarray([W, H], np.float32)
         t0 = time.perf_counter()
         chunks = []
@@ -242,10 +241,10 @@ class DETRDetector:
             chunks.append(batch)
             encs.append(enc)
         self.last_inference_time = time.perf_counter() - t0  # dispatch time
-        if len(chunks) == 1:
-            # Fast path: full batch -> device arrays untouched (lets
-            # callers pipeline dispatch/fetch). Otherwise strip on host.
-            merged = chunks[0] if pad == 0 else _host_merge(chunks, F)
+        # Fast path: one full batch -> device arrays untouched (lets
+        # callers pipeline dispatch/fetch). Otherwise merge/strip on host.
+        if len(chunks) == 1 and pad == 0:
+            merged = chunks[0]
         else:
             merged = _host_merge(chunks, F)
         self._last_encoder_chunks = encs

@@ -177,21 +177,18 @@ class BBoxMLP(nn.Module):
 def init_detr(config: DETRConfig, rng: jax.Array, input_hw: tuple[int, int] = (128, 160)):
     """Initialize a DETR model + params.
 
-    Init runs pinned to the host CPU backend: random weight initialization
-    is many tiny programs, and on a remote accelerator each would be its own
-    compile + round trip (~1 min total observed over the tunnel). The caller
-    device_puts the finished pytree once.
+    Init runs as ONE jitted program on the default backend: eager flax init
+    is hundreds of tiny per-op dispatches (each a round trip on a remote
+    accelerator, ~1 min total observed), while a single program compiles
+    once and then persists in the compilation cache (~6 s warm loads).
     """
     import dataclasses
 
     model = DETR(config)
     h, w = input_hw
-    # Init as ONE jitted program: eager flax init dispatches hundreds of tiny
-    # RNG/forward ops, each a round trip on a remote backend (~1 min
-    # observed); a single program compiles once and then persists in the
-    # compilation cache. The einsum-attention twin has an identical
-    # parameter tree and initializers, so init with it — it also lowers on
-    # the CPU backend where Pallas kernels don't.
+    # The einsum-attention twin has an identical parameter tree and
+    # initializers, so init with it — it also lowers on the CPU backend
+    # where Pallas kernels don't.
     init_model = (
         DETR(dataclasses.replace(config, use_pallas_attention=False))
         if config.use_pallas_attention

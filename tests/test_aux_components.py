@@ -419,3 +419,21 @@ class TestCalibrationConfigAlias:
         phase = TransformPhase(cfg)
         phase.initialize()
         assert phase.undistorter is not None
+
+    def test_calibration_coeffs_used_with_flat_intrinsics(self):
+        """calibration.distortion coefficients apply even when only flat
+        intrinsics are customized (coefficients decide the layout, not
+        intrinsics)."""
+        from office_person_detection_vit_tpu.calibration.lens_distortion import (
+            DistortionParams,
+        )
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+
+        cfg = ConfigManager.from_dict({
+            "transform": {"lens_distortion": {"focal_length_x": 1000.0}},
+            "calibration": {"distortion": {"k1": -0.2, "k2": 0.0, "k3": 0.0,
+                                           "p1": 0.0, "p2": 0.0}},
+        })
+        p = DistortionParams.from_config(cfg)
+        assert p.k1 == -0.2              # coefficients from calibration
+        assert p.focal_length_x == 1000.0  # intrinsics fall back to flat

@@ -204,3 +204,37 @@ class TestEditorCore:
         assert ui.process_key(ord("q")) is Action.QUIT
         assert ui.process_key(ord(" ")) is Action.NEXT_FRAME
         assert ui.process_key(ord("z")) is Action.NONE
+
+
+class TestReviewRegressions:
+    def test_drag_is_one_undo_entry(self, tmp_path):
+        """A continuous drag pushes ONE checkpoint (at gesture start), so
+        undo restores the pre-drag position, not the last pixel step."""
+        ui = UIController()
+        m = TrackManager(make_tracks())
+        ui.mouse_down(118, 138, m, 0)  # selects track 1
+        for x in range(120, 400, 3):  # ~90 move events
+            ui.mouse_move(float(x), 140.0, m)
+        ui.mouse_up()
+        b = m.get_point_at_frame(1, 0)["bbox"]
+        assert b[0] + b[2] / 2 == pytest.approx(399.0)
+        assert len(m._undo) == 1
+        assert m.undo()
+        b = m.get_point_at_frame(1, 0)["bbox"]
+        assert b[0] == 100.0  # pre-drag position restored
+
+    def test_floormap_half_clicks_rejected(self, tmp_path):
+        import cv2
+
+        from tools.gt_editor.data_loader import FrameImageLoader
+        from tools.gt_editor.editor import GTTracksEditor
+
+        frames_dir = tmp_path / "frames"
+        frames_dir.mkdir()
+        cv2.imwrite(str(frames_dir / "000000.jpg"), np.zeros((240, 320, 3), np.uint8))
+        ed = GTTracksEditor(make_tracks(), FrameImageLoader(frames_dir),
+                            homography=np.eye(3), output=tmp_path / "gt.json")
+        ed.render()  # establishes the camera extent
+        assert ed.in_camera_view(100, 100)
+        assert not ed.in_camera_view(500, 100)  # floormap half
+        assert not ed.in_camera_view(100, 300)  # below camera

@@ -246,3 +246,28 @@ def test_dagster_poc_runs_pipeline_body(tmp_path):
     summary = json.loads(summary_path.read_text())
     assert summary["status"] == "completed"
     assert not HAS_DAGSTER  # this image has no dagster; body ran directly
+
+
+def test_convert_coco_to_yolo_single_image_keeps_train(tmp_path):
+    """A 1-image dataset must not end up with an empty train split."""
+    from tools.convert_gt import main as convert_main
+
+    coco = {"images": [{"id": 1, "file_name": "a.jpg", "width": 10, "height": 10}],
+            "annotations": [{"id": 1, "image_id": 1, "bbox": [1, 1, 2, 2]}]}
+    src = tmp_path / "coco.json"
+    src.write_text(json.dumps(coco))
+    out = tmp_path / "yolo"
+    assert convert_main(["coco-to-yolo", "--input", str(src), "--output", str(out)]) == 0
+    assert (out / "labels/train/a.txt").exists()
+    assert not (out / "labels/val/a.txt").exists()
+
+
+def test_correspondence_analyzer_clamps_offgrid_points(tmp_path):
+    """Negative-coordinate points must clamp to cell 0, not wrap to -1."""
+    from tools.correspondence_analyzer import analyze_distribution
+
+    src = np.asarray([[-300.0, -50.0], [100.0, 100.0]])
+    dist = analyze_distribution(src, (1280, 720))
+    grid = np.asarray(dist["grid_counts"])
+    assert grid[0, 0] == 2  # both land in the first cell
+    assert grid[-1, -1] == 0

@@ -106,8 +106,10 @@ def coco_to_yolo(
         (out_dir / sub).mkdir(parents=True, exist_ok=True)
 
     ids = list(images_info)
-    val_count = max(1, int(len(ids) * val_ratio)) if ids else 0
-    val_ids = set(ids[len(ids) - val_count :])
+    # Tail-of-file split (matches the reference's deterministic behavior,
+    # convert_coco_to_yolo.py:71-74) but never empties the train split.
+    val_count = max(1, int(len(ids) * val_ratio)) if len(ids) > 1 else 0
+    val_ids = set(ids[len(ids) - val_count :]) if val_count else set()
 
     for img_id, (file_name, width, height) in images_info.items():
         split = "val" if img_id in val_ids else "train"

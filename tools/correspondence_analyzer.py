@@ -46,8 +46,8 @@ def analyze_distribution(src: np.ndarray, image_size: tuple[int, int]) -> dict:
     """Grid-coverage statistics of camera-side points (reference :40-109)."""
     width, height = image_size
     cell_w, cell_h = width / GRID_COLS, height / GRID_ROWS
-    cols = np.minimum((src[:, 0] / cell_w).astype(int), GRID_COLS - 1)
-    rows = np.minimum((src[:, 1] / cell_h).astype(int), GRID_ROWS - 1)
+    cols = np.clip((src[:, 0] / cell_w).astype(int), 0, GRID_COLS - 1)
+    rows = np.clip((src[:, 1] / cell_h).astype(int), 0, GRID_ROWS - 1)
     grid = np.zeros((GRID_ROWS, GRID_COLS), int)
     np.add.at(grid, (rows, cols), 1)
 
@@ -151,8 +151,8 @@ def visualize_distribution(
 
     cell_w, cell_h = width / GRID_COLS, height / GRID_ROWS
     grid = np.zeros((GRID_ROWS, GRID_COLS), int)
-    cols = np.minimum((src[:, 0] / cell_w).astype(int), GRID_COLS - 1)
-    rows = np.minimum((src[:, 1] / cell_h).astype(int), GRID_ROWS - 1)
+    cols = np.clip((src[:, 0] / cell_w).astype(int), 0, GRID_COLS - 1)
+    rows = np.clip((src[:, 1] / cell_h).astype(int), 0, GRID_ROWS - 1)
     np.add.at(grid, (rows, cols), 1)
 
     overlay = img.copy()

@@ -167,14 +167,14 @@ class TrackGenerator:
     def generate(self, detections_doc: dict) -> list[dict]:
         """detections.json ({"frames": [{"frame_number", "detections":
         [{"bbox", ...}]}]}) -> editor track document."""
-        tracks: list[dict] = []
+        tracks_by_id: dict[int, dict] = {}
         active: dict[int, tuple[float, float]] = {}  # id -> last center
         next_id = 1
         for frame in detections_doc.get("frames", []):
             fnum = int(frame.get("frame_number", frame.get("frame", 0)))
             centers = []
             for det in frame.get("detections", []):
-                x, y, w, h = det["bbox"] if isinstance(det["bbox"], list) else det["bbox"]
+                x, y, w, h = det["bbox"]
                 centers.append((x + w / 2.0, y + h / 2.0, [x, y, w, h]))
             assigned: dict[int, int] = {}
             if active and centers:
@@ -196,9 +196,8 @@ class TrackGenerator:
                 if tid is None:
                     tid = next_id
                     next_id += 1
-                    tracks.append({"track_id": tid, "trajectory": []})
-                track = next(t for t in tracks if t["track_id"] == tid)
-                track["trajectory"].append({"frame": fnum, "bbox": bbox})
+                    tracks_by_id[tid] = {"track_id": tid, "trajectory": []}
+                tracks_by_id[tid]["trajectory"].append({"frame": fnum, "bbox": bbox})
                 new_active[tid] = (cx, cy)
             active = new_active
-        return tracks
+        return list(tracks_by_id.values())

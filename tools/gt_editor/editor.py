@@ -68,9 +68,18 @@ class GTTracksEditor:
         frame = self.frames.load(fnum)
         if frame is None:
             frame = np.full((480, 640, 3), 30, np.uint8)
+        # Remember the camera half's extent: mouse events use composite-
+        # window coordinates, and only the camera half maps to image space.
+        self._cam_hw = frame.shape[:2]
         cam = self.camera.render(frame, self.manager, fnum, self.ui.state.selected)
         floor = self.floormap.render(self.manager, fnum)
         return compose(cam, floor)
+
+    def in_camera_view(self, x: float, y: float) -> bool:
+        """True when a composite-window coordinate lies on the camera half
+        (clicks on the floormap half must not edit camera-space points)."""
+        h, w = getattr(self, "_cam_hw", (480, 640))
+        return 0 <= x < w and 0 <= y < h
 
     def save(self) -> Path:
         if self.gold_output:
@@ -120,6 +129,12 @@ class GTTracksEditor:
         cv2.namedWindow(win)
 
         def on_mouse(event, x, y, flags, param):
+            if not self.in_camera_view(x, y):
+                # Floormap-half clicks are view-only: releasing there still
+                # ends a drag, but never edits camera-space geometry.
+                if event == cv2.EVENT_LBUTTONUP:
+                    self.ui.mouse_up()
+                return
             if event == cv2.EVENT_LBUTTONDOWN:
                 self.ui.mouse_down(x, y, self.manager, self.current_frame_number)
             elif event == cv2.EVENT_MOUSEMOVE:

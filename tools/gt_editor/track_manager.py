@@ -75,13 +75,22 @@ class TrackManager:
         self.tracks[:] = self._undo.pop()
         return True
 
-    def update_point(self, track_id: int, frame: int, x: float, y: float) -> bool:
+    def checkpoint(self) -> None:
+        """Push an undo checkpoint explicitly (one per user gesture — e.g.
+        drag start — NOT per mouse-move increment)."""
+        self._checkpoint()
+
+    def update_point(
+        self, track_id: int, frame: int, x: float, y: float, checkpoint: bool = True
+    ) -> bool:
         """Move a point's bbox so its center lands on (x, y)
-        (reference :130-168)."""
+        (reference :130-168). Pass checkpoint=False for continuous drags
+        that already pushed one checkpoint at gesture start."""
         p = self.get_point_at_frame(track_id, frame)
         if p is None:
             return False
-        self._checkpoint()
+        if checkpoint:
+            self._checkpoint()
         _, _, w, h = p["bbox"]
         p["bbox"] = [float(x) - w / 2.0, float(y) - h / 2.0, w, h]
         return True

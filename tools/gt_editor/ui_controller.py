@@ -73,12 +73,14 @@ class UIController:
         hit = manager.find_nearest_point(frame_number, x, y)
         self.state.selected = (hit[0], frame_number) if hit else None
         self.state.dragging = hit is not None
+        if self.state.dragging:
+            manager.checkpoint()  # one undo entry per drag gesture
 
     def mouse_move(self, x: float, y: float, manager) -> None:
         self.state.cursor = (x, y)
         if self.state.dragging and self.state.selected:
             tid, frame = self.state.selected
-            manager.update_point(tid, frame, x, y)
+            manager.update_point(tid, frame, x, y, checkpoint=False)
 
     def mouse_up(self) -> None:
         self.state.dragging = False
