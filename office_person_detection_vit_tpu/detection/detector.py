@@ -178,8 +178,8 @@ class DETRDetector:
         the faster format. The host->device link's effective bandwidth per
         array layout is deployment-specific (and over a tunnel, bursty), so
         this is measured, not assumed. Interleaved best-of-3 rounds."""
-        # Caller (detect_batch) has already padded frames to a batch-size
-        # multiple, so the sample is exactly one full batch.
+        # Caller (detect_batch) has already padded frames to a bucket size,
+        # so the sample is exactly one program-sized chunk.
         sample = frames[: self.batch_size]
         _, H, W, _ = sample.shape
         orig_wh = np.asarray([W, H], np.float32)
@@ -201,14 +201,36 @@ class DETRDetector:
         )
         return winner
 
+    def _bucket_sizes(self) -> list[int]:
+        """Power-of-2 program sizes up to batch_size (ascending)."""
+        sizes = []
+        b = 1
+        while b < self.batch_size:
+            sizes.append(b)
+            b *= 2
+        sizes.append(self.batch_size)
+        return sizes
+
+    def _tail_bucket(self, remainder: int) -> int:
+        """Smallest program size that fits a partial tail chunk. Padding
+        happens BEFORE the host->device transfer, so padding a single frame
+        up to a big batch would ship batch_size x the bytes over the link;
+        power-of-2 buckets cap the waste at 2x while keeping the number of
+        compiled programs logarithmic (all persisted in the XLA cache)."""
+        for b in self._bucket_sizes():
+            if b >= remainder:
+                return b
+        return self.batch_size
+
     # ---------------------------------------------------------------- detect
     def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
-        """(F, H, W, 3) uint8 BGR -> DetectionBatch (F, Q). F is padded to the
-        configured batch size internally; callers see the original F."""
+        """(F, H, W, 3) uint8 BGR -> DetectionBatch (F, Q). F is padded up to
+        a bucket size internally; callers see the original F."""
         if self.model is None:
             self.load_model()
         F, H, W, _ = frames.shape
-        pad = (-F) % self.batch_size
+        tail = F % self.batch_size
+        pad = (self._tail_bucket(tail) - tail) if tail else 0
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
         if self.transfer_format in ("i420", "auto") and (H % 4 or W % 2):

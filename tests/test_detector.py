@@ -177,3 +177,52 @@ class TestSSDDetector:
             build_detector(ConfigManager.from_dict({"detection": {"model": "detr"}})),
             DETRDetector,
         )
+
+
+class TestBucketedChunking:
+    """Partial batches ship in power-of-2 bucket programs so a single-frame
+    request doesn't transfer batch_size frames of padding."""
+
+    def _detector(self, batch_size):
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": batch_size,
+                           "input_height": 96, "input_width": 128,
+                           "dtype": "float32", "use_pallas_attention": False}}
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+        det.load_model()
+        return det
+
+    def test_bucket_selection(self):
+        det = self._detector(8)
+        assert det._bucket_sizes() == [1, 2, 4, 8]
+        assert det._tail_bucket(1) == 1
+        assert det._tail_bucket(2) == 2
+        assert det._tail_bucket(3) == 4
+        assert det._tail_bucket(5) == 8
+        det6 = self._detector(6)  # non-power-of-2 batch size
+        assert det6._bucket_sizes() == [1, 2, 4, 6]
+        assert det6._tail_bucket(5) == 6
+
+    def test_results_identical_across_bucket_shapes(self):
+        import numpy as np
+
+        det = self._detector(4)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (5, 72, 96, 3), np.uint8)
+        full = det.detect_batch(frames)            # chunks: 4 + bucket 1
+        assert full.scores.shape[0] == 5
+        one = det.detect_batch(frames[4:5])        # bucket-1 program
+        assert one.scores.shape[0] == 1
+        np.testing.assert_allclose(
+            np.asarray(full.scores[4]), np.asarray(one.scores[0]), atol=1e-5
+        )
+        three = det.detect_batch(frames[:3])       # bucket-4 program (pad 1)
+        assert three.scores.shape[0] == 3
+        np.testing.assert_allclose(
+            np.asarray(three.scores), np.asarray(full.scores[:3]), atol=1e-5
+        )

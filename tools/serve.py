@@ -163,8 +163,17 @@ def main(argv: list[str] | None = None) -> int:
 
     detector = build_detector(cfg)
     detector.load_model()
-    # Warm the jit so first requests aren't hit by compile latency.
-    detector.detect_batch(np.zeros((1, 720, 1280, 3), np.uint8))
+    # Warm every bucket program (1, 2, 4, ..., batch_size) so no request
+    # size is hit by compile latency; compiled programs persist in the XLA
+    # cache, so this is fast on every start but the machine's first.
+    buckets = (
+        detector._bucket_sizes()
+        if hasattr(detector, "_bucket_sizes")
+        else [detector.batch_size]
+    )
+    for b in buckets:
+        detector.detect_batch(np.zeros((b, 720, 1280, 3), np.uint8))
+        logger.info("warmed bucket %d", b)
     logger.info("model warm; serving on %s:%d", args.host, args.port)
 
     batcher = MicroBatcher(detector, max_batch=detector.batch_size)
