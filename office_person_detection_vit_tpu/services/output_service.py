@@ -22,6 +22,19 @@ class OutputService:
         """Create the session and write metadata.json; returns session dir."""
         session_dir = self.manager.create_session(session_id)
         self.manager.save_metadata(config)
+        # Persist the RESOLVED config into the session: reproducibility, and
+        # the dashboard / GT editor re-instantiate the session's transformer
+        # from it (reference dashboard_app.py:154-200).
+        try:
+            import yaml
+
+            (session_dir / "config.yaml").write_text(
+                yaml.safe_dump(config, sort_keys=False), encoding="utf-8"
+            )
+        except Exception as e:  # non-fatal: config may hold odd types
+            import logging
+
+            logging.getLogger(__name__).warning("could not persist config: %s", e)
         return session_dir
 
     def attach(self, session_dir: str | Path) -> Path:

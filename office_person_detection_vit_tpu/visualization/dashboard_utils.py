@@ -102,13 +102,14 @@ class SessionDataLoader:
 
     # ------------------------------------------------------------- projection
     def floor_trajectories(self) -> dict[int, list[tuple[float, float]]]:
-        """Per-track floor-space polylines from the transform artifact
-        (reference dashboard_app.py:154-200 re-projects live; here Phase 3
-        already persisted floor coords, so read them directly)."""
+        """Per-track floor-space polylines from the transform artifact;
+        when Phase 3 hasn't run but tracks exist, re-project camera-space
+        tracks live through the session's homography (reference
+        dashboard_app.py:154-200 on-the-fly transformer load)."""
         doc = self.transformations()
         traj: dict[int, list[tuple[float, float]]] = {}
         if not doc:
-            return traj
+            return self._project_tracks_live()
         for frame in doc.get("frames", []):
             for d in frame.get("detections", frame.get("det", [])):
                 tid = d.get("track_id", d.get("id"))
@@ -121,4 +122,41 @@ class SessionDataLoader:
                     else (floor[0], floor[1])
                 )
                 traj.setdefault(int(tid), []).append(pt)
+        return traj
+
+    def _project_tracks_live(self) -> dict[int, list[tuple[float, float]]]:
+        """Fallback: project tracks.json foot points through the homography
+        found in the session's saved config (reference's live transformer
+        instantiation, dashboard_app.py:154-200)."""
+        import numpy as np
+
+        tracks_doc = self.tracks()
+        if not tracks_doc:
+            return {}
+        matrix = None
+        cfg_path = self.session_dir / "config.yaml"
+        if cfg_path.exists():
+            import yaml
+
+            cfg = yaml.safe_load(cfg_path.read_text()) or {}
+            matrix = (cfg.get("homography") or {}).get("matrix")
+        if matrix is None:
+            return {}
+        from ..transform.homography import HomographyTransformer
+
+        transformer = HomographyTransformer(np.asarray(matrix, np.float64))
+        traj: dict[int, list[tuple[float, float]]] = {}
+        for t in tracks_doc.get("tracks", []):
+            feet = np.asarray(
+                [
+                    (p["bbox"][0] + p["bbox"][2] / 2.0, p["bbox"][1] + p["bbox"][3])
+                    for p in t.get("trajectory", [])
+                    if "bbox" in p
+                ],
+                np.float32,
+            )
+            if not len(feet):
+                continue
+            floor = np.asarray(transformer.transform_batch(feet))
+            traj[int(t["track_id"])] = [(float(x), float(y)) for x, y in floor]
         return traj

@@ -437,3 +437,35 @@ class TestCalibrationConfigAlias:
         p = DistortionParams.from_config(cfg)
         assert p.k1 == -0.2              # coefficients from calibration
         assert p.focal_length_x == 1000.0  # intrinsics fall back to flat
+
+
+class TestDashboardLiveProjection:
+    def test_fallback_projects_tracks_without_transform_artifact(self, tmp_path):
+        """No Phase-3 output -> trajectories come from tracks.json projected
+        through the session config's homography (reference
+        dashboard_app.py:154-200)."""
+        from office_person_detection_vit_tpu.visualization.dashboard_utils import (
+            SessionDataLoader,
+        )
+
+        (tmp_path / "03_tracking").mkdir(parents=True)
+        (tmp_path / "03_tracking/tracks.json").write_text(json.dumps({
+            "tracks": [{"track_id": 1, "trajectory": [
+                {"frame": 0, "bbox": [100.0, 100.0, 40.0, 80.0]},
+                {"frame": 1, "bbox": [110.0, 100.0, 40.0, 80.0]},
+            ]}]
+        }))
+        (tmp_path / "config.yaml").write_text(
+            "homography:\n  matrix: [[2.0, 0, 10.0], [0, 2.0, 5.0], [0, 0, 1.0]]\n")
+        loader = SessionDataLoader(tmp_path)
+        traj = loader.floor_trajectories()
+        # foot of first bbox = (120, 180) -> (2*120+10, 2*180+5) = (250, 365)
+        assert traj[1][0] == (250.0, 365.0)
+        assert len(traj[1]) == 2
+
+    def test_no_tracks_no_config_is_empty(self, tmp_path):
+        from office_person_detection_vit_tpu.visualization.dashboard_utils import (
+            SessionDataLoader,
+        )
+
+        assert SessionDataLoader(tmp_path).floor_trajectories() == {}

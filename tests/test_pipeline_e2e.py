@@ -393,3 +393,16 @@ class TestDenseTracking:
         for fr in orch.frame_results:
             assert len(fr.detections) >= 1
             assert fr.detections[0].track_id is not None
+
+
+def test_session_persists_resolved_config(video, tmp_path):
+    """Each session saves its resolved config.yaml (reproducibility; the
+    dashboard/GT editor re-instantiate the transformer from it)."""
+    import yaml
+
+    cfg = _config(tmp_path, video)
+    orch = PipelineOrchestrator(cfg)
+    session_dir = orch.setup_output_directories()
+    saved = yaml.safe_load((session_dir / "config.yaml").read_text())
+    assert saved["homography"]["matrix"] == cfg.get("homography.matrix")
+    assert saved["video"]["input_path"] == str(video)
