@@ -2,7 +2,11 @@
 
 PYTHON ?= python
 
-.PHONY: run test test-fast lint bench dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse dryrun clean
+.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat mot-evaluate deps-check dryrun clean
+
+help:  ## list targets
+	@grep -E '^[a-z-]+:' Makefile | cut -d: -f1 | sort
+
 
 run:
 	$(PYTHON) main.py --config config.yaml
@@ -13,12 +17,31 @@ test:
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -m "not slow"
 
+test-cov:
+	$(PYTHON) -m pytest tests/ -q --cov=office_person_detection_vit_tpu --cov-report=term 2>/dev/null || \
+	$(PYTHON) -m pytest tests/ -q  # pytest-cov not installed
+
+format:
+	$(PYTHON) -m ruff format office_person_detection_vit_tpu tests tools && \
+	$(PYTHON) -m ruff check office_person_detection_vit_tpu tests tools --fix
+
+format-check:
+	$(PYTHON) -m ruff format --check office_person_detection_vit_tpu tests tools
+
+ci: lint test
+
 lint:
 	$(PYTHON) -m ruff check office_person_detection_vit_tpu tests tools 2>/dev/null || \
 	$(PYTHON) -m py_compile main.py bench.py __graft_entry__.py
 
 bench:
 	$(PYTHON) bench.py
+
+bench-e2e:
+	$(PYTHON) tools/bench_e2e.py --full-model
+
+serve:
+	$(PYTHON) tools/serve.py --port 8500
 
 dashboard:
 	streamlit run office_person_detection_vit_tpu/visualization/dashboard_app.py
@@ -37,6 +60,25 @@ benchmark-tracking-sparse:
 
 benchmark-detection:
 	$(PYTHON) -m office_person_detection_vit_tpu.benchmark.detection_runner --gt $(DET_GT) --pred $(DET_PRED)
+
+# GT bootstrap: pipeline output -> editable gold GT (+ CVAT-importable MOT CSV)
+# (reference Makefile gt-prepare / gt-from-cvat / mot-evaluate).
+GT_DIR ?= output/ground_truth
+CVAT_CSV ?= $(GT_DIR)/cvat_export.csv
+
+gt-prepare:
+	$(PYTHON) tools/convert_gt.py transforms-to-gold \
+	  --input output/latest/04_transform/coordinate_transformations.json \
+	  --output $(GT_DIR)/gt_tracking.json --mot-output $(GT_DIR)/gt_tracking.csv
+
+gt-from-cvat:
+	$(PYTHON) tools/convert_gt.py mot-to-gold --input $(CVAT_CSV) --output $(GT_DIR)/gt_tracking.json
+
+mot-evaluate:
+	$(PYTHON) -m office_person_detection_vit_tpu.benchmark --gt $(GT) --pred $(PRED) --report $(GT_DIR)/evaluation
+
+deps-check:
+	$(PYTHON) tools/check_dependencies.py
 
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \

@@ -271,3 +271,34 @@ def test_correspondence_analyzer_clamps_offgrid_points(tmp_path):
     grid = np.asarray(dist["grid_counts"])
     assert grid[0, 0] == 2  # both land in the first cell
     assert grid[-1, -1] == 0
+
+
+def test_transforms_to_gold_roundtrip(tmp_path):
+    """Phase-3 artifact (both key layouts) -> gold GT + MOT CSV that the
+    tracking benchmark can consume."""
+    from office_person_detection_vit_tpu.benchmark.mot_metrics import load_gold_gt
+    from tools.convert_gt import main as convert_main
+
+    doc = {"frames": [
+        {"frame_number": 0, "detections": [
+            {"bbox": {"x": 10.0, "y": 20.0, "width": 30.0, "height": 60.0},
+             "track_id": 1, "confidence": 0.9, "zone_ids": ["zone_a"]},
+            {"bbox": {"x": 99.0, "y": 9.0, "width": 5.0, "height": 5.0}},  # untracked
+        ]},
+        {"idx": 1, "det": [  # compact layout
+            {"bb": [12.0, 21.0, 30.0, 60.0], "id": 1, "conf": 0.8},
+        ]},
+    ]}
+    src = tmp_path / "coordinate_transformations.json"
+    src.write_text(json.dumps(doc))
+    gold = tmp_path / "gt.json"
+    mot = tmp_path / "gt.csv"
+    rc = convert_main(["transforms-to-gold", "--input", str(src),
+                       "--output", str(gold), "--mot-output", str(mot)])
+    assert rc == 0
+    loaded = load_gold_gt(gold)
+    assert loaded[0] == [(1, (10.0, 20.0, 30.0, 60.0))]
+    assert loaded[1] == [(1, (12.0, 21.0, 30.0, 60.0))]
+    rows = [line.split(",") for line in mot.read_text().splitlines()]
+    assert rows[0][0] == "1" and rows[0][1] == "1"  # 1-indexed frame, id
+    assert rows[1][0] == "2"

@@ -7,6 +7,8 @@ Subcommands:
   gold-to-mot   gold tracking-GT JSON -> MOTChallenge CSV
   coco-to-yolo  COCO detection GT -> YOLO txt labels + data.yaml train/val split
                 (reference tools/convert_coco_to_yolo.py:27-131)
+  transforms-to-gold  Phase-3 coordinate_transformations.json -> gold GT
+                (+ --mot-output CSV; reference tools/convert_to_gold_gt.py)
 """
 
 from __future__ import annotations
@@ -84,6 +86,58 @@ def gold_to_mot(gold_path: Path, out_path: Path) -> None:
                 )
 
 
+def transforms_to_gold(
+    transforms_path: Path, out_path: Path, mot_output: Path | None = None
+) -> None:
+    """Phase-3 coordinate_transformations.json -> gold tracking-GT (+ optional
+    MOT Challenge CSV for CVAT import) — the reference's GT-bootstrap flow
+    (tools/convert_to_gold_gt.py:67-158, Makefile gt-prepare). Only tracked
+    detections (with an id) become annotations. Accepts both the full-key and
+    compact-key artifact layouts (bbox/track_id vs bb/id)."""
+    doc = json.loads(transforms_path.read_text())
+    frames: list[dict] = []
+    for fdoc in doc.get("frames", []):
+        fnum = int(fdoc.get("frame_number", fdoc.get("idx", 0)))
+        anns = []
+        for det in fdoc.get("detections", fdoc.get("det", [])):
+            tid = det.get("track_id", det.get("id"))
+            bbox = det.get("bbox", det.get("bb"))
+            if tid is None or bbox is None:
+                continue
+            if isinstance(bbox, dict):
+                bbox = {"x": bbox["x"], "y": bbox["y"],
+                        "width": bbox["width"], "height": bbox["height"]}
+            else:
+                x, y, w, h = bbox
+                bbox = {"x": x, "y": y, "width": w, "height": h}
+            ann = {"track_id": int(tid), "bbox": bbox}
+            conf = det.get("confidence", det.get("conf"))
+            if conf is not None:
+                ann["confidence"] = float(conf)
+            zones = det.get("zone_ids", det.get("zones"))
+            if zones:
+                ann["zone_ids"] = list(zones)
+            anns.append(ann)
+        frames.append({"frame_number": fnum, "annotations": anns})
+    gold = {"format": "gold_tracking_gt", "frames": frames}
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(gold, indent=2))
+    if mot_output is not None:
+        mot_output.parent.mkdir(parents=True, exist_ok=True)
+        with mot_output.open("w", newline="") as f:
+            writer = csv.writer(f)
+            for frame in frames:
+                for ann in frame["annotations"]:
+                    b = ann["bbox"]
+                    writer.writerow([
+                        frame["frame_number"] + 1,  # MOT is 1-indexed
+                        ann["track_id"],
+                        f"{b['x']:.2f}", f"{b['y']:.2f}",
+                        f"{b['width']:.2f}", f"{b['height']:.2f}",
+                        ann.get("confidence", 1.0), -1, -1, -1,
+                    ])
+
+
 def coco_to_yolo(
     coco_path: Path, out_dir: Path, images_dir: Path | None = None, val_ratio: float = 0.2
 ) -> None:
@@ -135,15 +189,22 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="GT format conversion")
     parser.add_argument(
         "command",
-        choices=["mot-to-gold", "coco-to-gold", "gold-to-mot", "coco-to-yolo"],
+        choices=[
+            "mot-to-gold", "coco-to-gold", "gold-to-mot", "coco-to-yolo",
+            "transforms-to-gold",
+        ],
     )
     parser.add_argument("--input", required=True, type=Path)
     parser.add_argument("--output", required=True, type=Path)
     parser.add_argument("--images", type=Path, default=None, help="coco-to-yolo: image dir to copy")
     parser.add_argument("--val-ratio", type=float, default=0.2, help="coco-to-yolo: val split")
+    parser.add_argument("--mot-output", type=Path, default=None,
+                        help="transforms-to-gold: also write MOT CSV (CVAT import)")
     args = parser.parse_args(argv)
     if args.command == "coco-to-yolo":
         coco_to_yolo(args.input, args.output, args.images, args.val_ratio)
+    elif args.command == "transforms-to-gold":
+        transforms_to_gold(args.input, args.output, args.mot_output)
     else:
         {
             "mot-to-gold": mot_to_gold,
