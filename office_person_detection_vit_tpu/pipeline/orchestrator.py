@@ -194,10 +194,15 @@ class PipelineOrchestrator:
             return self.frame_results
         out_dir = self._phase_dir("03_tracking")
         phase = TrackingPhase(self.config, self.logger)
+        detection_batch = None
         if self.detection_phase is not None:
             phase.set_detector(self.detection_phase.detector)
+            detection_batch = self.detection_phase.last_batch
         with self.perf.measure("03_tracking"):
-            phase.execute(self.frame_results, self.frames or None, out_dir)
+            phase.execute(
+                self.frame_results, self.frames or None, out_dir,
+                detection_batch=detection_batch,
+            )
             if self.config.get("video.dense_tracking.enabled", False):
                 self.frame_results = phase.aggregate_to_output_intervals(
                     self.frame_results

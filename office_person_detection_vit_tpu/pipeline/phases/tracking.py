@@ -63,19 +63,52 @@ class TrackingPhase(BasePhase):
             self.reid.detector = self.detector
             self.reid.load_model()
 
+    def _attach_detector_features(self, frame_results, detection_batch) -> None:
+        """ROI-pool Phase-2 encoder features per detection so the tracker's
+        appearance cascade is active even without a Re-ID model (reference
+        TrackingPhase shares the detector's features, phases/tracking.py:46).
+        No-op when the batch or detector is unavailable (e.g. resume)."""
+        if (
+            detection_batch is None
+            or self.detector is None
+            or not hasattr(self.detector, "_pool_features")
+            or getattr(self.detector, "_last_encoder_chunks", None) in (None, [])
+        ):
+            return
+        try:
+            feats = np.asarray(self.detector._pool_features(detection_batch))
+            valid = np.asarray(detection_batch.valid)
+        except Exception as e:  # defensive: features are an enhancement
+            self.logger.warning("could not pool detector features: %s", e)
+            return
+        for fi, fr in enumerate(frame_results):
+            if fi >= len(feats):
+                break
+            frame_feats = feats[fi][valid[fi]]
+            for det, f in zip(fr.detections, frame_feats):
+                if det.feature is None:
+                    det.feature = np.asarray(f, np.float32)
+
     # ---------------------------------------------------------------- run
     def execute(
         self,
         frame_results: list[FrameResult],
         frames: list[np.ndarray] | None = None,
         output_dir: str | Path | None = None,
+        detection_batch=None,
     ) -> list[FrameResult]:
         """Track identities across the sampled frames (in timestamp order).
 
         Detections gain ``track_id``; returns the same FrameResult list.
+        ``detection_batch`` (Phase 2's DetectionBatch) enables the default
+        appearance features: ROI-mean-pooled DETR encoder features, the
+        reference's detect_with_features contract (yolov8_detector.py:134)
+        — used when no dedicated Re-ID extractor is configured.
         """
         self.log_banner()
         self.initialize()
+        if self.reid is None:
+            self._attach_detector_features(frame_results, detection_batch)
         id_set: set[int] = set()
         for i, fr in enumerate(frame_results):
             frame = frames[i] if frames is not None else None

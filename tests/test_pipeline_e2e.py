@@ -406,3 +406,32 @@ def test_session_persists_resolved_config(video, tmp_path):
     saved = yaml.safe_load((session_dir / "config.yaml").read_text())
     assert saved["homography"]["matrix"] == cfg.get("homography.matrix")
     assert saved["video"]["input_path"] == str(video)
+
+
+def test_tracking_gets_detector_appearance_features(tmp_path):
+    """Without a Re-ID model, Phase 2.5 pools DETR encoder features per
+    detection (the reference's detect_with_features sharing) so the
+    appearance cascade is live."""
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+    from office_person_detection_vit_tpu.models.detr import DETRConfig
+    from office_person_detection_vit_tpu.pipeline.phases.tracking import TrackingPhase
+
+    cfg = _config(tmp_path, "unused.mp4", **{"tracking.enabled": True})
+    # few classes so the random-weight model emits person detections
+    det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=2))
+    det.load_model()
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (72, 96, 3), np.uint8) for _ in range(2)]
+    batch = det.detect_batch(np.stack(frames))
+    frame_results = batch.to_frame_results(frame_numbers=[0, 1])
+    dets = [d for fr in frame_results for d in fr.detections]
+    assert dets, "expected detections from the 3-class random model at conf 0"
+    assert all(d.feature is None for d in dets)
+
+    phase = TrackingPhase(cfg)
+    phase.set_detector(det)
+    phase.execute(frame_results, frames, detection_batch=batch)
+    with_features = [d for d in dets if d.feature is not None]
+    assert len(with_features) == len(dets)
+    f = with_features[0].feature
+    assert f.ndim == 1 and f.shape[0] > 0
