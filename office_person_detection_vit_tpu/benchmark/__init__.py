@@ -40,24 +40,30 @@ def main(argv: list[str] | None = None) -> int:
 
     bench = TrackingBenchmark(sparse=args.sparse)
     result = bench.evaluate_from_files(args.gt, args.pred, gt_format=args.gt_format)
+    gt = (
+        load_gold_gt(args.gt) if args.gt_format == "gold" else load_mot_csv(args.gt)
+    )
+    hyp = load_mot_csv(args.pred)
+    hota = bench.evaluate_hota(gt, hyp)
 
     if args.json:
-        print(json.dumps(result.to_dict()))
+        doc = result.to_dict()
+        doc["hota"] = hota.to_dict()
+        print(json.dumps(doc))
     else:
         print(f"MOTA   {result.mota:8.4f}")
         print(f"IDF1   {result.idf1:8.4f}")
         print(f"IDP    {result.idp:8.4f}")
         print(f"IDR    {result.idr:8.4f}")
+        print(f"HOTA   {hota.hota:8.4f}")
+        print(f"DetA   {hota.det_a:8.4f}")
+        print(f"AssA   {hota.ass_a:8.4f}")
         print(f"IDSW   {result.idsw:8d}")
         print(f"FP     {result.fp:8d}")
         print(f"FN     {result.fn:8d}")
     if args.report:
-        gt = (
-            load_gold_gt(args.gt) if args.gt_format == "gold" else load_mot_csv(args.gt)
-        )
-        hyp = load_mot_csv(args.pred)
         TrackingBenchmark.export(
-            result, args.report, TrackingBenchmark.diagnostics(gt, hyp)
+            result, args.report, TrackingBenchmark.diagnostics(gt, hyp), hota=hota
         )
     return 0
 

@@ -6,7 +6,9 @@ Ristani et al. 2016 (identity metrics), matching motmetrics semantics:
 per-frame greedy continuation + Hungarian on an IoU-distance matrix with
 0.5 cutoff, and a global trajectory-level LAP for IDF1).
 
-IoU matrices run through the jitted ops/boxes kernel.
+IoU matrices run in host numpy (tiny ragged per-frame shapes; see
+docs/performance.md "dispatch hygiene"). HOTA follows Luiten et al. 2021
+(IJCV), matching the TrackEval reference algorithm.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from typing import Any
 import numpy as np
 
 from ..ops.assignment import solve_lap
-from ..ops.boxes import iou_matrix_xywh
+from ..tracking.similarity import SimilarityCalculator
 
 logger = logging.getLogger(__name__)
 
@@ -58,11 +60,18 @@ class MOTResult:
         }
 
 
+def _iou_matrix(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
+    """Host numpy IoU: per-frame matrices are tiny and ragged-shaped, so a
+    jitted kernel here would compile one program per (n_gt, n_hyp) shape
+    (docs/performance.md "dispatch hygiene")."""
+    return SimilarityCalculator.iou_matrix(
+        gt_boxes.astype(np.float32), hyp_boxes.astype(np.float32)
+    )
+
+
 def _iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
     """1 - IoU, with pairs under the cutoff set to inf (unmatchable)."""
-    iou = np.asarray(
-        iou_matrix_xywh(gt_boxes.astype(np.float32), hyp_boxes.astype(np.float32))
-    )
+    iou = _iou_matrix(gt_boxes, hyp_boxes)
     dist = 1.0 - iou
     dist[iou < IOU_CUTOFF] = np.inf
     return dist
@@ -215,3 +224,111 @@ def load_gold_gt(path: str | Path) -> FrameAnnotations:
                 bb = tuple(float(v) for v in bbox)
             out[frame].append((int(ann["track_id"]), bb))
     return dict(out)
+
+
+# ------------------------------------------------------------------- HOTA
+@dataclass
+class HOTAResult:
+    hota: float          # mean over alpha of sqrt(DetA * AssA)
+    det_a: float         # mean detection accuracy over alpha
+    ass_a: float         # mean association accuracy over alpha
+    per_alpha: dict[float, dict[str, float]]
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "hota": self.hota,
+            "det_a": self.det_a,
+            "ass_a": self.ass_a,
+            "per_alpha": {f"{a:.2f}": v for a, v in self.per_alpha.items()},
+        }
+
+
+def evaluate_hota(
+    gt: FrameAnnotations,
+    hyp: FrameAnnotations,
+    alphas: tuple[float, ...] = tuple(round(0.05 + 0.05 * i, 2) for i in range(19)),
+) -> HOTAResult:
+    """Higher-Order Tracking Accuracy (Luiten et al., IJCV 2021), following
+    the TrackEval reference algorithm: per alpha, (1) count potential id-pair
+    overlaps to get a global alignment (Jaccard) score, (2) per-frame
+    Hungarian maximizing global alignment (IoU as tie-break) over pairs with
+    IoU >= alpha, (3) DetA from TP/FN/FP counts and AssA as the TP-weighted
+    mean of TPA / (TPA + FNA + FPA) over matched id pairs."""
+    frames = sorted(set(gt) | set(hyp))
+    # Precompute per-frame IoU matrices + id lists once (shared across alphas).
+    per_frame: list[tuple[list[int], list[int], np.ndarray]] = []
+    gt_frames: dict[int, int] = defaultdict(int)
+    hyp_frames: dict[int, int] = defaultdict(int)
+    total_gt = total_hyp = 0
+    for f in frames:
+        gt_list = gt.get(f, [])
+        hyp_list = hyp.get(f, [])
+        total_gt += len(gt_list)
+        total_hyp += len(hyp_list)
+        for gid, _ in gt_list:
+            gt_frames[gid] += 1
+        for hid, _ in hyp_list:
+            hyp_frames[hid] += 1
+        if gt_list and hyp_list:
+            iou = _iou_matrix(
+                np.asarray([b for _, b in gt_list]),
+                np.asarray([b for _, b in hyp_list]),
+            )
+        else:
+            iou = np.zeros((len(gt_list), len(hyp_list)), np.float32)
+        per_frame.append(
+            ([gid for gid, _ in gt_list], [hid for hid, _ in hyp_list], iou)
+        )
+
+    per_alpha: dict[float, dict[str, float]] = {}
+    for alpha in alphas:
+        # Pass 1: potential id-pair overlaps at this alpha.
+        potential: dict[tuple[int, int], int] = defaultdict(int)
+        for gids, hids, iou in per_frame:
+            ok = iou >= alpha
+            for gi, gid in enumerate(gids):
+                for hi, hid in enumerate(hids):
+                    if ok[gi, hi]:
+                        potential[(gid, hid)] += 1
+        # Global alignment score (Jaccard over id pairs).
+        def align(gid: int, hid: int) -> float:
+            p = potential.get((gid, hid), 0)
+            return p / max(gt_frames[gid] + hyp_frames[hid] - p, 1)
+
+        # Pass 2: per-frame matching maximizing alignment (IoU tie-break).
+        match_count: dict[tuple[int, int], int] = defaultdict(int)
+        tp = 0
+        for gids, hids, iou in per_frame:
+            if not gids or not hids:
+                continue
+            score = np.zeros_like(iou)
+            for gi, gid in enumerate(gids):
+                for hi, hid in enumerate(hids):
+                    if iou[gi, hi] >= alpha:
+                        score[gi, hi] = align(gid, hid) + iou[gi, hi] * 1e-3 + 1e-6
+            # maximize score -> minimize negated; zero score = unmatchable
+            cost = np.where(score > 0, 1.0 - score, np.inf)
+            for gi, hi in solve_lap(cost):
+                if np.isfinite(cost[gi, hi]):
+                    match_count[(gids[gi], hids[hi])] += 1
+                    tp += 1
+        fn = total_gt - tp
+        fp = total_hyp - tp
+        det_a = tp / max(tp + fn + fp, 1)
+        # Pass 3: association accuracy, TP-weighted.
+        ass_sum = 0.0
+        for (gid, hid), tpa in match_count.items():
+            fna = gt_frames[gid] - tpa
+            fpa = hyp_frames[hid] - tpa
+            ass_sum += tpa * (tpa / max(tpa + fna + fpa, 1))
+        ass_a = ass_sum / tp if tp else 0.0
+        per_alpha[alpha] = {
+            "hota": float(np.sqrt(det_a * ass_a)),
+            "det_a": det_a,
+            "ass_a": ass_a,
+        }
+
+    hota = float(np.mean([v["hota"] for v in per_alpha.values()]))
+    det_a = float(np.mean([v["det_a"] for v in per_alpha.values()]))
+    ass_a = float(np.mean([v["ass_a"] for v in per_alpha.values()]))
+    return HOTAResult(hota=hota, det_a=det_a, ass_a=ass_a, per_alpha=per_alpha)

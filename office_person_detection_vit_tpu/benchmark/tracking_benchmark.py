@@ -64,6 +64,15 @@ class TrackingBenchmark:
             gt, hyp = _renumber_sparse(gt, hyp)
         return evaluate_mot(gt, hyp)
 
+    def evaluate_hota(self, gt: FrameAnnotations, hyp: FrameAnnotations):
+        """HOTA / DetA / AssA (Luiten et al. 2021) — beyond the reference's
+        motmetrics set; its Makefile advertises HOTA without implementing it."""
+        from .mot_metrics import evaluate_hota
+
+        if self.sparse:
+            gt, hyp = _renumber_sparse(gt, hyp)
+        return evaluate_hota(gt, hyp)
+
     def evaluate_from_files(
         self,
         gt_path: str | Path,
@@ -112,12 +121,16 @@ class TrackingBenchmark:
         result: MOTResult,
         output_dir: str | Path,
         diagnostics: dict[str, Any] | None = None,
+        hota=None,
     ) -> dict[str, Path]:
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         paths: dict[str, Path] = {}
+        doc = result.to_dict()
+        if hota is not None:
+            doc["hota"] = hota.to_dict()
         paths["json"] = out / "tracking_metrics.json"
-        paths["json"].write_text(json.dumps(result.to_dict(), indent=2))
+        paths["json"].write_text(json.dumps(doc, indent=2))
         md = [
             "# Tracking Benchmark",
             "",
@@ -129,6 +142,12 @@ class TrackingBenchmark:
             f"- ID switches: {result.idsw}",
             f"- FP: {result.fp}, FN: {result.fn}",
         ]
+        if hota is not None:
+            md += [
+                f"- HOTA: {hota.hota:.4f}",
+                f"- DetA: {hota.det_a:.4f}",
+                f"- AssA: {hota.ass_a:.4f}",
+            ]
         paths["report"] = out / "tracking_report.md"
         paths["report"].write_text("\n".join(md) + "\n")
         if diagnostics is not None:

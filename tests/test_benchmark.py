@@ -290,3 +290,66 @@ class TestIDF1PaddedSquare:
         r = evaluate_mot(gt, hyp)
         # IDTP=5 via hyp A: IDF1 = 2*5 / (10 + 14) = 0.4166...
         assert r.idf1 == pytest.approx(2 * 5 / 24, abs=1e-6)
+
+
+class TestHOTA:
+    def _gt(self, n=10):
+        return {f: [(1, (10.0 * f, 0.0, 10.0, 20.0)),
+                    (2, (100.0 + 5 * f, 50.0, 10.0, 20.0))] for f in range(n)}
+
+    def test_perfect_tracking_is_one(self):
+        from office_person_detection_vit_tpu.benchmark.mot_metrics import evaluate_hota
+
+        gt = self._gt()
+        r = evaluate_hota(gt, gt)
+        assert r.hota == 1.0 and r.det_a == 1.0 and r.ass_a == 1.0
+
+    def test_id_switch_halves_association(self):
+        """One track switching ids halfway: DetA stays 1, AssA = 0.75
+        (track 1 contributes 0.5 over its 10 TPs, track 2 contributes 1.0),
+        HOTA = sqrt(0.75) — hand-derived from Luiten et al. definitions."""
+        import numpy as np
+
+        from office_person_detection_vit_tpu.benchmark.mot_metrics import evaluate_hota
+
+        gt = self._gt()
+        hyp = {f: [(1 if f < 5 else 3, gt[f][0][1]), (2, gt[f][1][1])]
+               for f in range(10)}
+        r = evaluate_hota(gt, hyp)
+        assert r.det_a == 1.0
+        assert r.ass_a == pytest.approx(0.75)
+        assert r.hota == pytest.approx(float(np.sqrt(0.75)))
+
+    def test_missed_detections_lower_det_a(self):
+        from office_person_detection_vit_tpu.benchmark.mot_metrics import evaluate_hota
+
+        gt = self._gt()
+        hyp = {f: [(1, gt[f][0][1])] for f in range(10)}  # track 2 never found
+        r = evaluate_hota(gt, hyp)
+        # TP=10, FN=10, FP=0 at every alpha -> DetA 0.5; matched track is clean.
+        assert r.det_a == pytest.approx(0.5)
+        assert r.ass_a == pytest.approx(1.0)
+
+    def test_cli_reports_hota(self, tmp_path):
+        import json as _json
+
+        from office_person_detection_vit_tpu.benchmark import main as bench_main
+
+        gt = self._gt()
+        gold = {"format": "gold_tracking_gt", "frames": [
+            {"frame_number": f, "annotations": [
+                {"track_id": t, "bbox": list(b)} for t, b in anns]}
+            for f, anns in gt.items()]}
+        gt_path = tmp_path / "gt.json"
+        gt_path.write_text(_json.dumps(gold))
+        pred = tmp_path / "pred.csv"
+        pred.write_text("".join(
+            f"{f},{t},{b[0]},{b[1]},{b[2]},{b[3]},1.0,-1,-1,-1\n"
+            for f, anns in gt.items() for t, b in anns))
+        out = tmp_path / "report"
+        rc = bench_main(["--gt", str(gt_path), "--pred", str(pred),
+                         "--report", str(out)])
+        assert rc == 0
+        doc = _json.loads((out / "tracking_metrics.json").read_text())
+        assert doc["hota"]["hota"] == 1.0
+        assert "HOTA: 1.0000" in (out / "tracking_report.md").read_text()
