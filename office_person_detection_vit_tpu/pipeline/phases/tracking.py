@@ -238,13 +238,17 @@ class TrackingPhase(BasePhase):
                 if cur is None or d.confidence > cur.confidence:
                     windows[win][d.track_id] = d
         out = []
-        for win in sorted(windows):
+        # Iterate every observed window (window_meta), not just windows that
+        # got tracked detections: an interval with zero tracked people must
+        # still appear downstream as a zero-count row, and a detection-free
+        # run must not lose its frames entirely.
+        for win in sorted(window_meta):
             rep = window_meta[win]
             out.append(
                 FrameResult(
                     frame_number=rep.frame_number,
                     timestamp=rep.timestamp,
-                    detections=list(windows[win].values()),
+                    detections=list(windows[win].values()) if win in windows else [],
                     frame_path=rep.frame_path,
                 )
             )

@@ -435,3 +435,32 @@ def test_tracking_gets_detector_appearance_features(tmp_path):
     assert len(with_features) == len(dets)
     f = with_features[0].feature
     assert f.ndim == 1 and f.shape[0] > 0
+
+
+def test_dense_aggregation_keeps_trackless_windows(tmp_path):
+    """Output windows with no tracked detections still appear as zero-count
+    rows; a detection-free dense run must not drop all its frames."""
+    from datetime import datetime, timedelta
+
+    from office_person_detection_vit_tpu.core.dto import Detection
+    from office_person_detection_vit_tpu.pipeline.phases.tracking import TrackingPhase
+
+    cfg = _config(tmp_path, "unused.mp4", **{
+        "tracking.enabled": True,
+        "video.dense_tracking.enabled": True,
+        "video.dense_tracking.output_interval_minutes": 5,
+    })
+    base = datetime(2025, 1, 20, 9, 0, 0)
+    frame_results = []
+    for i in range(10):  # one frame per minute -> 2 windows of 5
+        fr = FrameResult(frame_number=i, timestamp=base + timedelta(minutes=i))
+        if i == 7:  # only the second window has a tracked detection
+            d = Detection(bbox=(10, 10, 20, 40), confidence=0.9)
+            d.track_id = 3
+            fr.detections = [d]
+        frame_results.append(fr)
+    phase = TrackingPhase(cfg)
+    out = phase.aggregate_to_output_intervals(frame_results)
+    assert len(out) == 2
+    assert out[0].detections == []           # empty window preserved
+    assert [d.track_id for d in out[1].detections] == [3]
