@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat mot-evaluate deps-check dryrun clean
+.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat coco-to-cvat cvat-to-mot validate-annotation baseline mot-evaluate deps-check dryrun clean
 
 help:  ## list targets
 	@grep -E '^[a-z-]+:' Makefile | cut -d: -f1 | sort
@@ -73,6 +73,29 @@ gt-prepare:
 
 gt-from-cvat:
 	$(PYTHON) tools/convert_gt.py mot-to-gold --input $(CVAT_CSV) --output $(GT_DIR)/gt_tracking.json
+
+# CVAT interchange (reference Makefile coco-to-cvat / cvat-to-mot — the
+# reference advertises these but ships no implementation; ours works).
+CVAT_XML_INPUT ?= $(GT_DIR)/cvat_tracks.xml
+CVAT_XML_OUTPUT ?= $(GT_DIR)/cvat_export.xml
+MOT_GT_CSV ?= $(GT_DIR)/gt_tracking.csv
+ANNOTATION ?= output/labels/result_fixed.json
+ANNOTATION_IMAGES ?= data/annotation_images
+
+coco-to-cvat:
+	$(PYTHON) tools/cvat_tools.py coco-to-cvat --input $(ANNOTATION) \
+	  --images $(ANNOTATION_IMAGES) --output $(CVAT_XML_INPUT)
+
+cvat-to-mot:
+	$(PYTHON) tools/cvat_tools.py cvat-to-mot --input $(CVAT_XML_OUTPUT) --output $(MOT_GT_CSV)
+
+validate-annotation:
+	$(PYTHON) tools/validate_annotation_integrity.py --annotation $(ANNOTATION) \
+	  --images $(ANNOTATION_IMAGES) --format coco
+
+# Baseline run + verification vs the reference's targets (time/frame <= 2.0 s).
+baseline:
+	$(PYTHON) tools/run_baseline.py --config config.yaml $(if $(TAG),--tag $(TAG))
 
 mot-evaluate:
 	$(PYTHON) -m office_person_detection_vit_tpu.benchmark --gt $(GT) --pred $(PRED) --report $(GT_DIR)/evaluation
