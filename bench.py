@@ -62,8 +62,8 @@ def main() -> None:
             "detection": {
                 "confidence_threshold": 0.5,
                 "batch_size": batch,
-                "input_height": 768,
-                "input_width": 1344,
+                "input_height": 736,
+                "input_width": 1280,
                 "dtype": "bfloat16",
                 "use_pallas_attention": jax.default_backend() == "tpu",
                 # race bgr vs i420 host->device transfer on the first batch
@@ -80,7 +80,7 @@ def main() -> None:
     np.asarray(detector.detect_batch(frames).scores)
     np.asarray(detector.detect_batch(frames).scores)
 
-    iters, windows = 4, 6
+    iters, windows = 4, 8  # more windows -> better odds of catching a clean link burst
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()

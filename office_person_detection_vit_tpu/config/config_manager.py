@@ -77,8 +77,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "batch_size": 4,
         "num_queries": 100,
         # Static input shape fed to the jitted preprocessing + model.
-        "input_height": 768,
-        "input_width": 1344,
+        "input_height": 736,
+        "input_width": 1280,
         "dtype": "bfloat16",
         "use_pallas_attention": True,
         # full | tiny (tests / dry runs)
@@ -230,8 +230,8 @@ class StaticHParams:
         return cls(
             batch_size=int(cfg.get("detection.batch_size", 4)),
             num_queries=int(cfg.get("detection.num_queries", 100)),
-            input_height=int(cfg.get("detection.input_height", 768)),
-            input_width=int(cfg.get("detection.input_width", 1344)),
+            input_height=int(cfg.get("detection.input_height", 736)),
+            input_width=int(cfg.get("detection.input_width", 1280)),
             confidence_threshold=float(cfg.get("detection.confidence_threshold", 0.5)),
             dtype=str(cfg.get("detection.dtype", "bfloat16")),
             use_pallas_attention=bool(cfg.get("detection.use_pallas_attention", True)),

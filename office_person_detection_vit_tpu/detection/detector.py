@@ -56,8 +56,8 @@ class DETRDetector:
         self.confidence_threshold = float(get("detection.confidence_threshold", 0.5))
         self.batch_size = int(get("detection.batch_size", 4))
         self.input_hw = (
-            int(get("detection.input_height", 768)),
-            int(get("detection.input_width", 1344)),
+            int(get("detection.input_height", 736)),
+            int(get("detection.input_width", 1280)),
         )
         self.checkpoint_path = get("detection.checkpoint_path", None)
         self.device_pref = str(get("detection.device", "auto"))

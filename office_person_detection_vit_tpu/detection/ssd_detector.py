@@ -36,8 +36,8 @@ class SSDDetector:
         self.confidence_threshold = float(get("detection.confidence_threshold", 0.5))
         self.batch_size = int(get("detection.batch_size", 8))
         self.input_hw = (
-            int(get("detection.input_height", 768)),
-            int(get("detection.input_width", 1344)),
+            int(get("detection.input_height", 736)),
+            int(get("detection.input_width", 1280)),
         )
         self.checkpoint_path = get("detection.checkpoint_path", None)
         if ss_config is None:

@@ -33,7 +33,7 @@ def compute_resize_geometry(
 @partial(jax.jit, static_argnames=("target_hw", "bgr", "out_dtype"))
 def preprocess_frames(
     frames: Array,  # (F, H, W, 3) uint8
-    target_hw: tuple[int, int] = (768, 1344),
+    target_hw: tuple[int, int] = (736, 1280),
     bgr: bool = True,
     out_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[Array, Array]:
@@ -97,7 +97,7 @@ def bgr_to_i420(frames) -> "np.ndarray":
 @partial(jax.jit, static_argnames=("target_hw", "out_dtype"))
 def preprocess_frames_i420(
     planes: Array,  # (F, H*3//2, W) uint8 I420
-    target_hw: tuple[int, int] = (768, 1344),
+    target_hw: tuple[int, int] = (736, 1280),
     out_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[Array, Array]:
     """I420 -> RGB (BT.601) -> ImageNet-normalize -> resize -> pad, fused.
