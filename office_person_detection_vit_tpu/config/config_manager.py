@@ -328,16 +328,24 @@ class ConfigManager:
         return True
 
     def _validate_ranges(self) -> list[str]:
+        # Non-numeric values are already reported by the type check; treat
+        # them as unset here instead of crashing the cast.
+        def _num(dot_path: str) -> float | None:
+            v = self.get(dot_path)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return float(v)
+            return None
+
         errors = []
-        conf = self.get("detection.confidence_threshold")
-        if conf is not None and not (0.0 <= float(conf) <= 1.0):
+        conf = _num("detection.confidence_threshold")
+        if conf is not None and not (0.0 <= conf <= 1.0):
             errors.append("detection.confidence_threshold must be in [0, 1]")
-        bs = self.get("detection.batch_size")
-        if bs is not None and int(bs) < 1:
+        bs = _num("detection.batch_size")
+        if bs is not None and bs < 1:
             errors.append("detection.batch_size must be >= 1")
-        aw = self.get("tracking.appearance_weight")
-        mw = self.get("tracking.motion_weight")
-        if aw is not None and mw is not None and abs(float(aw) + float(mw) - 1.0) > 1e-6:
+        aw = _num("tracking.appearance_weight")
+        mw = _num("tracking.motion_weight")
+        if aw is not None and mw is not None and abs(aw + mw - 1.0) > 1e-6:
             errors.append("tracking.appearance_weight + motion_weight must sum to 1.0")
         method = self.get("transform.method")
         if method not in (None, "homography", "piecewise_affine", "thin_plate_spline"):
