@@ -76,3 +76,65 @@ class TestSideBySide:
             tmp_path / "a", tmp_path / "b", tmp_path / "o.mp4"
         )
         assert out is None
+
+
+class TestTrajectoryExporterMore:
+    def test_empty_frames_write_header_only(self, tmp_path):
+        path = TrajectoryExporter(tmp_path).export_csv([])
+        rows = list(csv.reader(path.open()))
+        assert rows == [["frame", "timestamp", "track_id", "x", "y", "w", "h", "confidence"]]
+
+    def test_json_includes_floor_mm_when_present(self, tmp_path):
+        det = Detection(
+            bbox=(1, 2, 3, 4), confidence=0.5, track_id=9,
+            floor_coords_mm=(2819.26, 5638.52),
+        )
+        path = TrajectoryExporter(tmp_path).export_json(
+            [FrameResult(0, "2025-01-01 10:00:00", [det])]
+        )
+        data = json.loads(path.read_text())
+        point = data["tracks"][0]["trajectory"][0]
+        assert point["floor_mm"] == [2819.3, 5638.5]
+
+    def test_image_sequence_named_by_frame_number(self, tmp_path):
+        frames = _frames()
+        images = [np.zeros((60, 80, 3), np.uint8)] * 2
+        paths = TrajectoryExporter(tmp_path).export_image_sequence(frames, images)
+        assert [p.name for p in paths] == ["tracked_000000.jpg", "tracked_000001.jpg"]
+        assert all(p.exists() for p in paths)
+
+    def test_export_video_empty_returns_none(self, tmp_path):
+        assert TrajectoryExporter(tmp_path).export_video([], []) is None
+
+    def test_untracked_detections_never_exported(self, tmp_path):
+        frames = [FrameResult(0, None, [Detection(bbox=(0, 0, 5, 5), confidence=0.4)])]
+        exp = TrajectoryExporter(tmp_path)
+        assert len(list(csv.reader(exp.export_csv(frames).open()))) == 1
+        assert json.loads(exp.export_json(frames).read_text())["num_tracks"] == 0
+
+
+class TestTimestampPairing:
+    def test_key_extraction_variants(self):
+        from pathlib import Path
+
+        from office_person_detection_vit_tpu.utils.export_utils import _timestamp_key
+
+        assert _timestamp_key(Path("detection_20250101_100000.jpg")) == "20250101_100000"
+        assert _timestamp_key(Path("floormap_20250101-100000.png")) == "20250101-100000"
+        assert _timestamp_key(Path("frame_000123.jpg")) == "000123"
+        # no timestamp token -> whole stem (pairs only with identical stems)
+        assert _timestamp_key(Path("snapshot.png")) == "snapshot"
+
+    def test_mixed_extensions_pair(self, tmp_path):
+        det_dir, fm_dir = tmp_path / "d", tmp_path / "f"
+        det_dir.mkdir(), fm_dir.mkdir()
+        cv2.imwrite(str(det_dir / "detection_100000.png"), np.zeros((20, 20, 3), np.uint8))
+        cv2.imwrite(str(fm_dir / "floormap_100000.jpg"), np.zeros((20, 20, 3), np.uint8))
+        assert len(SideBySideVideoExporter().pair_images(det_dir, fm_dir)) == 1
+
+    def test_resize_to_height_preserves_aspect(self):
+        exp = SideBySideVideoExporter(height=100)
+        out = exp._resize_to_height(np.zeros((50, 80, 3), np.uint8))
+        assert out.shape == (100, 160, 3)
+        same = exp._resize_to_height(np.zeros((100, 40, 3), np.uint8))
+        assert same.shape == (100, 40, 3)
