@@ -3,8 +3,8 @@ src/benchmark/detection_benchmark.py:101-599).
 
 P/R/F1 at a working threshold, AP@50 / AP@75 / mAP(0.5:0.95) via the
 all-points interpolated PR curve, FP/FN diagnostics JSONL, markdown report.
-IoU matrices run through the jitted ops/boxes kernel; the PR sweep is
-vectorized numpy on host (tiny data).
+IoU matrices and the PR sweep are vectorized numpy on host: per-image shapes
+vary, so device dispatch would compile one program per image.
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ from typing import Any
 
 import numpy as np
 
-from ..ops.boxes import iou_matrix_xywh
+from ..ops.boxes import iou_matrix_xywh_np
 
 logger = logging.getLogger(__name__)
 
@@ -69,11 +69,8 @@ def _image_iou(
     all ten AP thresholds (the matrix does not depend on the threshold)."""
     if len(preds) == 0 or len(gt_boxes) == 0:
         return np.zeros((len(preds), len(gt_boxes)), np.float32)
-    return np.asarray(
-        iou_matrix_xywh(
-            np.asarray([p.bbox for p in preds], np.float32),
-            gt_boxes.astype(np.float32),
-        )
+    return iou_matrix_xywh_np(
+        np.asarray([p.bbox for p in preds], np.float32), gt_boxes
     )
 
 
@@ -115,10 +112,49 @@ def average_precision(
     return float(np.sum((recall - r_prev) * precision))
 
 
+def reference_compat_ap(
+    tp_flags: np.ndarray, scores: np.ndarray
+) -> float:
+    """The reference's AP formula, reproduced exactly for published-number
+    comparisons (reference src/evaluation/detection_benchmark.py:434-472):
+    11-point interpolation, and — crucially — recall normalized by the
+    number of MATCHED predictions rather than by GT count, so false
+    negatives never lower it. Against the reference's own committed
+    artifacts this reproduces its detection_metrics.json to full float
+    precision (AP@50 0.9519408122061515); the standard formula
+    (:func:`average_precision`) gives 0.778 on the same data. Use
+    ``ap_mode="reference"`` only to compare against the reference's
+    published numbers."""
+    if len(tp_flags) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    f = tp_flags[order].astype(bool)
+    total_pos = int(f.sum())
+    if total_pos == 0:
+        return 0.0
+    tp = np.cumsum(f)
+    fp = np.cumsum(~f)
+    prec = tp / (tp + fp)
+    rec = tp / total_pos
+    ap = 0.0
+    for t in np.arange(0, 1.1, 0.1):
+        mask = rec >= t
+        ap += (float(prec[mask].max()) if mask.any() else 0.0) / 11
+    return float(ap)
+
+
 class DetectionBenchmark:
-    def __init__(self, iou_threshold: float = 0.5, score_threshold: float = 0.0):
+    def __init__(
+        self,
+        iou_threshold: float = 0.5,
+        score_threshold: float = 0.0,
+        ap_mode: str = "standard",
+    ):
+        if ap_mode not in ("standard", "reference"):
+            raise ValueError(f"unknown ap_mode: {ap_mode}")
         self.iou_threshold = float(iou_threshold)
         self.score_threshold = float(score_threshold)
+        self.ap_mode = ap_mode
 
     # -------------------------------------------------------------- loading
     @staticmethod
@@ -135,10 +171,25 @@ class DetectionBenchmark:
 
     @staticmethod
     def load_predictions(path: str | Path) -> list[DetectionRecord]:
-        """Accepts COCO-results JSON ([{image_id/file_name, bbox, score}]) or
-        the pipeline's coordinate_transformations.json."""
+        """Accepts COCO-results JSON ([{image_id/file_name, bbox, score}]),
+        a full COCO document ({images, annotations} with per-annotation
+        scores — the format the reference's detect_yolov8.py exporter writes,
+        reference tools/detect_yolov8.py:4), or the pipeline's
+        coordinate_transformations.json."""
         doc = json.loads(Path(path).read_text())
         records: list[DetectionRecord] = []
+        if isinstance(doc, dict) and "annotations" in doc:
+            images = {im["id"]: im["file_name"] for im in doc.get("images", [])}
+            for ann in doc["annotations"]:
+                name = images.get(ann.get("image_id"), str(ann.get("image_id", "")))
+                records.append(
+                    DetectionRecord(
+                        str(name),
+                        tuple(float(v) for v in ann["bbox"]),
+                        float(ann.get("score", 1.0)),
+                    )
+                )
+            return records
         if isinstance(doc, dict) and "frames" in doc:
             for frame in doc["frames"]:
                 name = frame.get("image", frame.get("timestamp", frame.get("ts", "")))
@@ -194,12 +245,14 @@ class DetectionBenchmark:
             }
 
         scores = np.asarray(all_scores, np.float64)
+
+        def _ap(flags: np.ndarray) -> float:
+            if self.ap_mode == "reference":
+                return reference_compat_ap(flags, scores)
+            return average_precision(flags, scores, num_gt)
+
         ap = {
-            t: average_precision(
-                np.concatenate(flags_at[t]) if flags_at[t] else np.zeros(0, bool),
-                scores,
-                num_gt,
-            )
+            t: _ap(np.concatenate(flags_at[t]) if flags_at[t] else np.zeros(0, bool))
             for t in IOU_GRID
         }
         precision = tp / (tp + fp) if (tp + fp) else 0.0

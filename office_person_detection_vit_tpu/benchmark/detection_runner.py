@@ -25,9 +25,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--json", action="store_true")
     parser.add_argument("--sweep", action="store_true",
                         help="also run the confidence-threshold sweep")
+    parser.add_argument("--ap-mode", choices=("standard", "reference"),
+                        default="standard",
+                        help="'reference' reproduces the reference's AP formula "
+                             "(11-point, recall normalized by matched preds — "
+                             "inflated vs standard) for published-number parity")
     args = parser.parse_args(argv)
 
-    bench = DetectionBenchmark(iou_threshold=args.iou, score_threshold=args.score)
+    bench = DetectionBenchmark(
+        iou_threshold=args.iou, score_threshold=args.score, ap_mode=args.ap_mode
+    )
     gt = bench.load_coco(args.gt)
     preds = bench.load_predictions(args.pred)
     result = bench.evaluate(preds, gt)

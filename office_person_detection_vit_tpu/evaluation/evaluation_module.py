@@ -2,7 +2,8 @@
 (reference src/evaluation/evaluation_module.py:142-387).
 
 Greedy IoU >= 0.5 matching per image -> precision/recall/F1, with the IoU
-matrix computed as one jitted broadcast (ops/boxes.iou_matrix_xywh) instead
+matrix computed as one broadcast (ops/boxes.iou_matrix_xywh_np; host numpy —
+eval shapes vary per image, so device dispatch would compile per image) instead
 of per-pair Python loops. GT join is filename-keyed (reference :360-363).
 """
 
@@ -17,7 +18,7 @@ from typing import Any, Sequence
 import numpy as np
 
 from ..core.dto import Detection, EvaluationMetrics, FrameResult
-from ..ops.boxes import iou_matrix_xywh
+from ..ops.boxes import iou_matrix_xywh_np
 
 logger = logging.getLogger(__name__)
 
@@ -31,7 +32,7 @@ def greedy_match(
         return 0, 0, len(gt_boxes)
     if len(gt_boxes) == 0:
         return 0, len(pred_boxes), 0
-    iou = np.asarray(iou_matrix_xywh(pred_boxes, gt_boxes))
+    iou = iou_matrix_xywh_np(pred_boxes, gt_boxes)
     matched_gt: set[int] = set()
     tp = 0
     for p in range(iou.shape[0]):

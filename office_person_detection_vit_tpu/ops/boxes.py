@@ -79,6 +79,33 @@ def iou_matrix_xywh(a: Array, b: Array) -> Array:
     return iou_matrix_xyxy(xywh_to_xyxy(a), xywh_to_xyxy(b))
 
 
+def iou_matrix_xywh_np(a, b):
+    """Numpy IoU matrix for HOST-side tools (benchmarks, evaluation).
+
+    Eval loops see a different (P, G) shape per image; routing them through
+    jnp would dispatch (and compile) one tiny program per image on the
+    accelerator — with a remote device that is seconds per image. Metrics
+    are host code; keep them on the host.
+    """
+    import numpy as np
+
+    a = np.asarray(a, np.float32).reshape(-1, 4)
+    b = np.asarray(b, np.float32).reshape(-1, 4)
+    ax0, ay0 = a[:, 0], a[:, 1]
+    ax1, ay1 = a[:, 0] + a[:, 2], a[:, 1] + a[:, 3]
+    bx0, by0 = b[:, 0], b[:, 1]
+    bx1, by1 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
+    lt_x = np.maximum(ax0[:, None], bx0[None, :])
+    lt_y = np.maximum(ay0[:, None], by0[None, :])
+    rb_x = np.minimum(ax1[:, None], bx1[None, :])
+    rb_y = np.minimum(ay1[:, None], by1[None, :])
+    inter = np.maximum(rb_x - lt_x, 0.0) * np.maximum(rb_y - lt_y, 0.0)
+    area_a = np.maximum(ax1 - ax0, 0.0) * np.maximum(ay1 - ay0, 0.0)
+    area_b = np.maximum(bx1 - bx0, 0.0) * np.maximum(by1 - by0, 0.0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+
+
 def generalized_iou_xyxy(a: Array, b: Array) -> Array:
     """Pairwise GIoU (N, 4) x (M, 4) -> (N, M); used by the DETR matcher/loss."""
     iou = iou_matrix_xyxy(a, b)

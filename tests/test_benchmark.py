@@ -353,3 +353,93 @@ class TestHOTA:
         doc = _json.loads((out / "tracking_metrics.json").read_text())
         assert doc["hota"]["hota"] == 1.0
         assert "HOTA: 1.0000" in (out / "tracking_report.md").read_text()
+
+
+class TestReferenceCompatAP:
+    """ap_mode="reference" reproduces the reference's AP formula
+    (src/evaluation/detection_benchmark.py:434-472): 11-point interpolation
+    with recall normalized by MATCHED predictions. Verified against the
+    reference's committed artifacts to full float precision
+    (AP@50 0.9519408122061515 — see BASELINE.md "metric parity")."""
+
+    def _data(self):
+        # 1 image: 2 GT, 1 matching pred -> 1 TP, 1 FN.
+        gt = {"a.jpg": np.asarray([[0, 0, 10, 10], [50, 50, 10, 10]], np.float32)}
+        preds = [DetectionRecord("a.jpg", (0.0, 0.0, 10.0, 10.0), 0.9)]
+        return preds, gt
+
+    def test_reference_mode_ignores_false_negatives(self):
+        preds, gt = self._data()
+        std = DetectionBenchmark(ap_mode="standard").evaluate(preds, gt)
+        ref = DetectionBenchmark(ap_mode="reference").evaluate(preds, gt)
+        # Standard: recall ceiling 0.5 (1 of 2 GT found) -> AP@50 ~0.5.
+        assert std.ap50 == pytest.approx(0.5)
+        # Reference formula: recall normalized by matched preds -> perfect 1.0
+        # despite the missed GT box.
+        assert ref.ap50 == pytest.approx(1.0)
+        # Working-point metrics agree between modes.
+        assert std.f1 == ref.f1 and std.fn == ref.fn == 1
+
+    def test_reference_mode_penalizes_false_positives(self):
+        gt = {"a.jpg": np.asarray([[0, 0, 10, 10]], np.float32)}
+        preds = [
+            DetectionRecord("a.jpg", (500.0, 500.0, 10.0, 10.0), 0.95),  # FP first
+            DetectionRecord("a.jpg", (0.0, 0.0, 10.0, 10.0), 0.9),
+        ]
+        ref = DetectionBenchmark(ap_mode="reference").evaluate(preds, gt)
+        assert ref.ap50 < 1.0
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError, match="unknown ap_mode"):
+            DetectionBenchmark(ap_mode="coco")
+
+    def test_runner_flag(self, tmp_path, capsys):
+        import json as _json
+
+        from office_person_detection_vit_tpu.benchmark.detection_runner import (
+            main as runner_main,
+        )
+
+        gt_doc = {
+            "images": [{"id": 1, "file_name": "a.jpg"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "bbox": [0, 0, 10, 10]},
+                {"id": 2, "image_id": 1, "bbox": [50, 50, 10, 10]},
+            ],
+        }
+        pred_doc = [{"file_name": "a.jpg", "bbox": [0, 0, 10, 10], "score": 0.9}]
+        (tmp_path / "gt.json").write_text(_json.dumps(gt_doc))
+        (tmp_path / "pred.json").write_text(_json.dumps(pred_doc))
+        assert runner_main([
+            "--gt", str(tmp_path / "gt.json"), "--pred", str(tmp_path / "pred.json"),
+            "--ap-mode", "reference", "--json",
+        ]) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["ap_50"] == pytest.approx(1.0)
+
+
+class TestFullCocoPredictionLoading:
+    def test_images_annotations_document(self, tmp_path):
+        """The reference's detect_yolov8.py exports a FULL COCO document
+        (images + annotations with scores); the loader must join bboxes to
+        file names through the images table."""
+        import json as _json
+
+        doc = {
+            "images": [
+                {"id": 0, "file_name": "f1.jpg"},
+                {"id": 1, "file_name": "f2.jpg"},
+            ],
+            "annotations": [
+                {"id": 0, "image_id": 0, "bbox": [1, 2, 3, 4], "score": 0.8},
+                {"id": 1, "image_id": 1, "bbox": [5, 6, 7, 8], "score": 0.6},
+                {"id": 2, "image_id": 1, "bbox": [9, 9, 2, 2]},  # no score -> 1.0
+            ],
+            "categories": [{"id": 0, "name": "person"}],
+        }
+        p = tmp_path / "pred.json"
+        p.write_text(_json.dumps(doc))
+        records = DetectionBenchmark.load_predictions(p)
+        assert len(records) == 3
+        assert records[0].image == "f1.jpg" and records[0].score == 0.8
+        assert records[2].image == "f2.jpg" and records[2].score == 1.0
