@@ -208,21 +208,34 @@ def load_mot_csv(path: str | Path) -> FrameAnnotations:
 
 def load_gold_gt(path: str | Path) -> FrameAnnotations:
     """Gold-GT tracking JSON (reference tracking_benchmark.py:300-347):
-    {frames: [{frame_number|frame, annotations|tracks: [{track_id, bbox}]}]}."""
+    {frames: [{frame_number|frame|frame_idx,
+               annotations|tracks: [{track_id|person_id, bbox}]}]}.
+
+    The reference's own committed ``output/ground_truth/gt_tracking.json``
+    uses ``frame_idx``/``person_id`` key names; accept those too.
+    ``frame_idx`` is 0-based and maps to the 1-based MOTChallenge frame id
+    (reference tracking_benchmark.py:332 "FrameId: frame_idx + 1"), matching
+    its committed CSV twin (json frame_idx 4 == csv frame 5)."""
     import json
 
     doc = json.loads(Path(path).read_text())
     out: FrameAnnotations = defaultdict(list)
     frames = doc.get("frames", doc if isinstance(doc, list) else [])
     for fdoc in frames:
-        frame = int(fdoc.get("frame_number", fdoc.get("frame", 0)))
+        if "frame_number" in fdoc or "frame" in fdoc:
+            frame = int(fdoc.get("frame_number", fdoc.get("frame", 0)))
+        else:
+            frame = int(fdoc.get("frame_idx", 0)) + 1  # 0-based -> MOT 1-based
         for ann in fdoc.get("annotations", fdoc.get("tracks", [])):
             bbox = ann["bbox"]
             if isinstance(bbox, dict):
                 bb = (bbox["x"], bbox["y"], bbox["width"], bbox["height"])
             else:
                 bb = tuple(float(v) for v in bbox)
-            out[frame].append((int(ann["track_id"]), bb))
+            tid = ann.get("track_id", ann.get("person_id"))
+            if tid is None:
+                raise KeyError(f"annotation missing track_id/person_id: {ann}")
+            out[frame].append((int(tid), bb))
     return dict(out)
 
 

@@ -443,3 +443,61 @@ class TestFullCocoPredictionLoading:
         assert len(records) == 3
         assert records[0].image == "f1.jpg" and records[0].score == 0.8
         assert records[2].image == "f2.jpg" and records[2].score == 1.0
+
+
+class TestReferenceGoldGTKeyStyle:
+    """The reference's committed gt_tracking.json uses frame_idx/person_id
+    keys with 0-based frame_idx mapping to MOT's 1-based FrameId
+    (reference tracking_benchmark.py:332). Its committed CSV twin encodes
+    the same boxes at frame_idx+1; loading both must align perfectly."""
+
+    def _write_pair(self, tmp_path):
+        gold = {
+            "version": "1.0",
+            "frames": [
+                {
+                    "frame_idx": 4,
+                    "annotations": [
+                        {"person_id": 1, "bbox": [611.8, 277.1, 28.8, 19.4],
+                         "confidence": 0.63},
+                        {"person_id": 2, "bbox": [606.0, 321.8, 65.5, 59.3],
+                         "confidence": 0.96},
+                    ],
+                }
+            ],
+        }
+        (tmp_path / "gt.json").write_text(json.dumps(gold))
+        (tmp_path / "gt.csv").write_text(
+            "5,1,611.8,277.1,28.8,19.4,0.63,-1,-1,-1\n"
+            "5,2,606.0,321.8,65.5,59.3,0.96,-1,-1,-1\n"
+        )
+        return tmp_path / "gt.json", tmp_path / "gt.csv"
+
+    def test_frame_idx_maps_to_one_based(self, tmp_path):
+        gold_path, _ = self._write_pair(tmp_path)
+        gt = load_gold_gt(gold_path)
+        assert list(gt) == [5]
+        assert {tid for tid, _ in gt[5]} == {1, 2}
+
+    def test_json_and_csv_twins_score_perfectly(self, tmp_path):
+        gold_path, csv_path = self._write_pair(tmp_path)
+        gt = load_gold_gt(gold_path)
+        pred = load_mot_csv(csv_path)
+        result = evaluate_mot(gt, pred)
+        assert result.mota == pytest.approx(1.0)
+        assert result.idf1 == pytest.approx(1.0)
+        assert result.fp == 0 and result.fn == 0
+
+    def test_frame_number_style_not_shifted(self, tmp_path):
+        gold = {"frames": [{"frame_number": 5, "annotations": [
+            {"track_id": 1, "bbox": [0, 0, 10, 10]}]}]}
+        p = tmp_path / "g.json"
+        p.write_text(json.dumps(gold))
+        assert list(load_gold_gt(p)) == [5]
+
+    def test_missing_id_key_raises(self, tmp_path):
+        gold = {"frames": [{"frame_idx": 0, "annotations": [{"bbox": [0, 0, 1, 1]}]}]}
+        p = tmp_path / "g.json"
+        p.write_text(json.dumps(gold))
+        with pytest.raises(KeyError):
+            load_gold_gt(p)
