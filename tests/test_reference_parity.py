@@ -1,0 +1,124 @@
+"""Drop-in parity against the reference's OWN committed artifacts.
+
+These tests consume real files from /root/reference (read-only upstream
+checkout) and are skipped when it is absent, so the suite stays portable.
+They prove byte-level metric parity claims in BASELINE.md §"metric parity".
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+GT_COCO = REF / "output/labels/result_fixed.json"
+PRED_COCO = REF / "output/benchmark/detections_yolov8_finetuned.json"
+REF_METRICS = REF / "output/benchmark_yolov8_ft/detection_metrics.json"
+REF_SWEEP = REF / "output/benchmark/threshold_yolov8.json"
+GOLD_GT_JSON = REF / "output/ground_truth/gt_tracking.json"
+GOLD_GT_CSV = REF / "output/ground_truth/gt_tracking.csv"
+REF_CONFIG = REF / "config.yaml"
+
+
+class TestDetectionMetricParity:
+    @pytest.fixture(scope="class")
+    def loaded(self):
+        from office_person_detection_vit_tpu.benchmark.detection_benchmark import (
+            DetectionBenchmark,
+        )
+
+        bench = DetectionBenchmark(ap_mode="reference")
+        return bench, bench.load_coco(GT_COCO), bench.load_predictions(PRED_COCO)
+
+    def test_full_float_precision_match(self, loaded):
+        bench, gt, preds = loaded
+        result = bench.evaluate(preds, gt)
+        ref = json.loads(REF_METRICS.read_text())["metrics"]
+        assert result.precision == ref["precision"]
+        assert result.recall == ref["recall"]
+        assert result.f1 == ref["f1_score"]
+        assert (result.tp, result.fp, result.fn) == (
+            ref["true_positives"], ref["false_positives"], ref["false_negatives"]
+        )
+        assert result.ap50 == ref["ap_50"]
+        assert result.ap75 == ref["ap_75"]
+        assert result.map_5095 == ref["ap"]
+
+    def test_threshold_sweep_matches_committed_sweep(self, loaded):
+        from office_person_detection_vit_tpu.benchmark.detection_benchmark import (
+            threshold_sweep,
+        )
+
+        _, gt, preds = loaded
+        ours = threshold_sweep(preds, gt, thresholds=np.arange(0.2, 0.75, 0.05))
+        ref = json.loads(REF_SWEEP.read_text())
+        ref_rows = {round(r["threshold"], 2): r for r in ref["all_results"]}
+        for row in ours["sweep"]:
+            r = ref_rows.get(row["threshold"])
+            if r is None:
+                continue
+            assert (row["tp"], row["fp"], row["fn"]) == (r["tp"], r["fp"], r["fn"])
+            assert row["f1"] == r["f1"]
+        assert ours["best_threshold"] == ref["best_threshold"]["threshold"]
+        assert ours["best_f1"] == ref["best_threshold"]["f1"]
+
+
+class TestTrackingGTParity:
+    def test_committed_gold_json_aligns_with_csv_twin(self):
+        from office_person_detection_vit_tpu.benchmark.mot_metrics import (
+            evaluate_mot,
+            load_gold_gt,
+            load_mot_csv,
+        )
+
+        gt = load_gold_gt(GOLD_GT_JSON)
+        csv_twin = load_mot_csv(GOLD_GT_CSV)
+        assert sum(len(v) for v in gt.values()) == sum(
+            len(v) for v in csv_twin.values()
+        )
+        result = evaluate_mot(gt, csv_twin)
+        assert result.mota == pytest.approx(1.0)
+        assert result.idf1 == pytest.approx(1.0)
+        assert result.fp == 0 and result.fn == 0 and result.idsw == 0
+
+
+class TestConfigDropIn:
+    def test_reference_config_loads_and_validates(self):
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+
+        cfg = ConfigManager(REF_CONFIG)
+        assert cfg.validate()
+        assert cfg.get("video.time_compression_ratio") == 313.0
+        assert [z["id"] for z in cfg.get("zones", [])] == [
+            "zone_1", "zone_2", "zone_3"
+        ]
+        assert cfg.get("transform.method") == "piecewise_affine"
+        assert len(cfg.get("homography.matrix")) == 3
+        hp = cfg.static_hparams()
+        assert hp.batch_size == 4  # reference detection.batch_size
+
+    def test_reference_homography_matrix_projects_in_bounds(self):
+        """The reference's calibrated H maps its camera foot points into its
+        floormap pixel space (finite, plausible magnitude)."""
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.ops.geometry import (
+            homography_transform,
+        )
+
+        cfg = ConfigManager(REF_CONFIG)
+        H = np.asarray(cfg.get("homography.matrix"), np.float64)
+        pts = np.asarray([[640.0, 600.0], [900.0, 650.0]], np.float32)
+        out = np.asarray(homography_transform(pts, H.astype(np.float32)))
+        assert np.isfinite(out).all()
+        w = cfg.get("floormap.image_width", 1878)
+        h = cfg.get("floormap.image_height", 1369)
+        assert (np.abs(out) < 4 * max(w, h)).all()
