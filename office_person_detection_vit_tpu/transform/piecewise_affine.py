@@ -209,11 +209,16 @@ def build_transformer(cfg: Any, undistorter=None):
             loaded.floormap = floormap
             return loaded
         if corr and Path(str(corr)).exists():
-            return PiecewiseAffineTransformer.from_correspondence_file(
+            t = PiecewiseAffineTransformer.from_correspondence_file(
                 corr, floormap, undistorter
             )
+            # Save the fitted model for later runs / the dashboard
+            # (reference phases/transform.py:179-182).
+            if model_path:
+                t.save(model_path)
+            return t
         raise FileNotFoundError(
-            f"piecewise_affine needs transform.model_path or calibration.correspondence_file"
+            "piecewise_affine needs transform.model_path or calibration.correspondence_file"
         )
     if method == "thin_plate_spline":
         if corr and Path(str(corr)).exists():

@@ -121,3 +121,40 @@ def test_tps_reproduces_affine(affine_correspondences):
 def test_fit_requires_enough_points():
     with pytest.raises(ValueError):
         pwa.fit_pwa(np.zeros((2, 2)), np.zeros((2, 2)))
+
+
+def test_build_transformer_saves_model_from_correspondences(tmp_path):
+    """Building PWA from a correspondence file persists the fitted model to
+    transform.model_path for later runs (reference phases/transform.py:179-182)."""
+    import json
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.transform.piecewise_affine import (
+        PiecewiseAffineTransformer,
+        build_transformer,
+    )
+
+    pts = {
+        "points": [
+            {"camera": [0, 0], "floormap": [0, 0]},
+            {"camera": [100, 0], "floormap": [200, 0]},
+            {"camera": [0, 100], "floormap": [0, 200]},
+            {"camera": [100, 100], "floormap": [200, 200]},
+            {"camera": [50, 50], "floormap": [100, 100]},
+        ]
+    }
+    corr = tmp_path / "corr.json"
+    corr.write_text(json.dumps(pts))
+    model_path = tmp_path / "models" / "pwa.pkl"
+    cfg = ConfigManager.from_dict(
+        {
+            "transform": {"method": "piecewise_affine", "model_path": str(model_path)},
+            "calibration": {"correspondence_file": str(corr)},
+        }
+    )
+    t = build_transformer(cfg)
+    assert model_path.exists()
+    # Second build loads the pickled model (same mapping).
+    t2 = build_transformer(cfg)
+    assert isinstance(t2, PiecewiseAffineTransformer)
+    assert t2.transform_pixel(50.0, 50.0) == pytest.approx(t.transform_pixel(50.0, 50.0))
