@@ -152,8 +152,16 @@ class PipelineOrchestrator:
                     frame = cv2.imread(fr.frame_path)
                 if frame is None:
                     if video is None:
-                        video = VideoProcessor(self.config.get("video.input_path", ""))
-                        if not video.open():
+                        # The source video may itself be gone (resumed session
+                        # moved to another machine); the chain must degrade to
+                        # dropping the frame, not crash (reference :173-192).
+                        try:
+                            video = VideoProcessor(
+                                self.config.get("video.input_path", "")
+                            )
+                            if not video.open():
+                                video = None
+                        except (FileNotFoundError, ValueError):
                             video = None
                     if video is not None:
                         frame = video.get_frame(fr.frame_number)
