@@ -77,8 +77,21 @@ class VisualizationPhase(BasePhase):
             exporter = SideBySideVideoExporter(
                 fps=float(self.config.get("output.side_by_side_video_fps", 1.0))
             )
+            # Optional floormap crop/zoom around each frame's floor points
+            # (reference export_utils.py:498 crop_and_zoom_floormap).
+            points_by_key = None
+            if bool(self.config.get("output.side_by_side_zoom", False)):
+                points_by_key = {}
+                for fr in frame_results:
+                    ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
+                    key = ts if ts else f"{fr.frame_number:06d}"
+                    points_by_key[key] = [
+                        d.floor_coords_px for d in fr.detections
+                        if d.floor_coords_px is not None
+                    ]
             generated["side_by_side"] = exporter.export(
-                detection_image_dir, floormap_dir, out / "side_by_side.mp4"
+                detection_image_dir, floormap_dir, out / "side_by_side.mp4",
+                floor_points_by_key=points_by_key,
             )
 
         self.generated = generated

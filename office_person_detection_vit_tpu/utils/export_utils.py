@@ -184,6 +184,52 @@ class SideBySideVideoExporter:
         scale = self.height / h
         return cv2.resize(img, (int(round(w * scale)), self.height))
 
+    @staticmethod
+    def crop_and_zoom_floormap(
+        floormap_image: np.ndarray,
+        floor_points: Sequence[tuple[float, float]],
+        zoom_margin: float = 0.8,
+        min_zoom_ratio: float = 0.5,
+        target_size: tuple[int, int] | None = None,
+    ) -> np.ndarray:
+        """Crop the floormap around the detections' floor points with a
+        margin, never zooming past ``min_zoom_ratio`` of the full map
+        (reference export_utils.py:498-584)."""
+        h, w = floormap_image.shape[:2]
+        pts = [(x, y) for x, y in floor_points if 0 <= x < w and 0 <= y < h]
+        if not pts:
+            out = floormap_image
+        else:
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            min_x, max_x = max(0.0, min(xs)), min(float(w), max(xs))
+            min_y, max_y = max(0.0, min(ys)), min(float(h), max(ys))
+            margin_x = (max_x - min_x) * zoom_margin
+            margin_y = (max_y - min_y) * zoom_margin
+            x1 = max(0, int(min_x - margin_x))
+            y1 = max(0, int(min_y - margin_y))
+            x2 = min(w, int(max_x + margin_x))
+            y2 = min(h, int(max_y + margin_y))
+            # Do not zoom in past min_zoom_ratio of the full map: widen the
+            # crop around its center (reference :560-575).
+            min_w, min_h = int(w * min_zoom_ratio), int(h * min_zoom_ratio)
+            if x2 - x1 < min_w:
+                cx = (x1 + x2) // 2
+                x1 = max(0, cx - min_w // 2)
+                x2 = min(w, x1 + min_w)
+                if x2 == w:
+                    x1 = max(0, w - min_w)
+            if y2 - y1 < min_h:
+                cy = (y1 + y2) // 2
+                y1 = max(0, cy - min_h // 2)
+                y2 = min(h, y1 + min_h)
+                if y2 == h:
+                    y1 = max(0, h - min_h)
+            out = floormap_image[y1:y2, x1:x2]
+        if target_size is not None:
+            out = cv2.resize(out, target_size)
+        return out
+
     def pair_images(
         self, detection_dir: str | Path, floormap_dir: str | Path
     ) -> list[tuple[Path, Path]]:
@@ -209,13 +255,28 @@ class SideBySideVideoExporter:
         detection_dir: str | Path,
         floormap_dir: str | Path,
         output_path: str | Path,
+        floor_points_by_key: dict[str, list[tuple[float, float]]] | None = None,
     ) -> Path | None:
+        """Stack timestamp-matched pairs into one MP4. When
+        ``floor_points_by_key`` maps a pair's timestamp key to that frame's
+        floor points, the floormap side is cropped/zoomed around them
+        (reference export_utils.py:498 crop/zoom option)."""
         pairs = self.pair_images(detection_dir, floormap_dir)
         if not pairs:
             logger.warning("no timestamp-matched image pairs; skipping video")
             return None
+
+        def _right(path: Path) -> np.ndarray:
+            img = cv2.imread(str(path))
+            if floor_points_by_key is not None:
+                pts = floor_points_by_key.get(_timestamp_key(path), [])
+                img = self.crop_and_zoom_floormap(
+                    img, pts, target_size=(img.shape[1], img.shape[0])
+                )
+            return self._resize_to_height(img)
+
         first_l = self._resize_to_height(cv2.imread(str(pairs[0][0])))
-        first_r = self._resize_to_height(cv2.imread(str(pairs[0][1])))
+        first_r = _right(pairs[0][1])
         width = first_l.shape[1] + first_r.shape[1]
         out = Path(output_path)
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -225,7 +286,7 @@ class SideBySideVideoExporter:
         try:
             for left_path, right_path in pairs:
                 left = self._resize_to_height(cv2.imread(str(left_path)))
-                right = self._resize_to_height(cv2.imread(str(right_path)))
+                right = _right(right_path)
                 canvas = np.zeros((self.height, width, 3), np.uint8)
                 canvas[:, : left.shape[1]] = left
                 canvas[:, left.shape[1] : left.shape[1] + right.shape[1]] = right

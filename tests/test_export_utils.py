@@ -138,3 +138,58 @@ class TestTimestampPairing:
         assert out.shape == (100, 160, 3)
         same = exp._resize_to_height(np.zeros((100, 40, 3), np.uint8))
         assert same.shape == (100, 40, 3)
+
+
+class TestCropAndZoom:
+    def _map(self, h=400, w=600):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        return img
+
+    def test_no_points_returns_full_map(self):
+        img = self._map()
+        out = SideBySideVideoExporter.crop_and_zoom_floormap(img, [])
+        assert out.shape == img.shape
+
+    def test_out_of_bounds_points_ignored(self):
+        img = self._map()
+        out = SideBySideVideoExporter.crop_and_zoom_floormap(
+            img, [(-10, 5), (10_000, 10)]
+        )
+        assert out.shape == img.shape
+
+    def test_min_zoom_ratio_enforced(self):
+        # A single cluster of close points must not zoom past 50% of the map.
+        img = self._map()
+        out = SideBySideVideoExporter.crop_and_zoom_floormap(
+            img, [(300, 200), (305, 203)], min_zoom_ratio=0.5
+        )
+        assert out.shape[1] >= 300 and out.shape[0] >= 200
+
+    def test_crop_covers_spread_points_with_margin(self):
+        img = self._map()
+        out = SideBySideVideoExporter.crop_and_zoom_floormap(
+            img, [(100, 100), (500, 300)], zoom_margin=0.1, min_zoom_ratio=0.1
+        )
+        # crop is smaller than the map but includes the activity bbox
+        assert out.shape[0] < 400 and out.shape[1] < 600
+        assert out.shape[1] >= 400 - 1  # >= spread + margins
+
+    def test_target_size_resize(self):
+        img = self._map()
+        out = SideBySideVideoExporter.crop_and_zoom_floormap(
+            img, [(300, 200)], target_size=(120, 80)
+        )
+        assert out.shape == (80, 120, 3)
+
+    def test_export_with_zoom_mapping(self, tmp_path):
+        det_dir, fm_dir = tmp_path / "d", tmp_path / "f"
+        det_dir.mkdir(), fm_dir.mkdir()
+        for ts in ("100000", "100500"):
+            cv2.imwrite(str(det_dir / f"detection_{ts}.jpg"), np.zeros((72, 128, 3), np.uint8))
+            cv2.imwrite(str(fm_dir / f"floormap_{ts}.png"), np.full((100, 150, 3), 128, np.uint8))
+        points = {"100000": [(50.0, 40.0)], "100500": [(100.0, 80.0)]}
+        out = SideBySideVideoExporter(fps=2, height=72).export(
+            det_dir, fm_dir, tmp_path / "z.mp4", floor_points_by_key=points
+        )
+        assert out is not None and out.stat().st_size > 0

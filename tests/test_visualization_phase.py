@@ -79,3 +79,26 @@ class TestVisualizationPhase:
         generated = phase.execute([], [], tmp_path)
         assert generated["time_series"] is None
         assert generated["heatmap"] is None
+
+
+class TestSideBySideZoom:
+    def test_zoom_knob_passes_floor_points(self, tmp_path):
+        cfg = _cfg(**{
+            "output.save_side_by_side_video": True,
+            "output.side_by_side_zoom": True,
+        })
+        phase = VisualizationPhase(cfg)
+        frs, agg = _data(2)
+        # detection images matching the floormap timestamp keys
+        import cv2
+        import numpy as np
+
+        det_dir = tmp_path / "det"
+        det_dir.mkdir()
+        for fr in frs:
+            ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
+            cv2.imwrite(str(det_dir / f"detection_{ts}.jpg"),
+                        np.zeros((72, 128, 3), np.uint8))
+        generated = phase.execute(frs, agg, tmp_path, detection_image_dir=det_dir)
+        assert generated["side_by_side"] is not None
+        assert (tmp_path / "side_by_side.mp4").stat().st_size > 0
