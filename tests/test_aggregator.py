@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from office_person_detection_vit_tpu.aggregation.aggregator import Aggregator
 
@@ -58,3 +59,81 @@ def test_batched_membership_ingestion():
     agg.aggregate_membership(["t0", "t1"], membership, valid)
     counts = agg.get_zone_counts()
     assert counts["t0"] == {"a": 1, "b": 0, "unclassified": 1}
+
+
+class TestTrendsAndPeaks:
+    def _agg_with_counts(self, series):
+        from office_person_detection_vit_tpu.aggregation.aggregator import Aggregator
+
+        agg = Aggregator(["z1"])
+        for i, n in enumerate(series):
+            agg.aggregate_frame(f"t{i}", [["z1"]] * n)
+        return agg
+
+    def test_increasing_trend(self):
+        agg = self._agg_with_counts([0, 1, 2, 3, 4])
+        t = agg.get_trend_analysis()["z1"]
+        assert t["direction"] == "increasing"
+        assert t["slope"] == pytest.approx(1.0)
+        assert t["r_squared"] == pytest.approx(1.0)
+
+    def test_decreasing_trend(self):
+        agg = self._agg_with_counts([4, 3, 2, 1, 0])
+        assert agg.get_trend_analysis()["z1"]["direction"] == "decreasing"
+
+    def test_stable_trend(self):
+        agg = self._agg_with_counts([2, 2, 2, 2])
+        t = agg.get_trend_analysis()["z1"]
+        assert t["direction"] == "stable"
+        assert t["slope"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_trend_needs_two_frames(self):
+        agg = self._agg_with_counts([3])
+        assert agg.get_trend_analysis() == {}
+
+    def test_peaks_ranked_by_total(self):
+        agg = self._agg_with_counts([1, 5, 2, 4, 0])
+        peaks = agg.get_peak_times(top_n=2)
+        assert [p["timestamp"] for p in peaks] == ["t1", "t3"]
+        assert [p["total_count"] for p in peaks] == [5, 4]
+
+    def test_peaks_clamped_to_available(self):
+        agg = self._agg_with_counts([1, 2])
+        assert len(agg.get_peak_times(top_n=10)) == 2
+
+    def test_statistics_quartiles(self):
+        agg = self._agg_with_counts([0, 1, 2, 3, 4])
+        s = agg.get_statistics()["z1"]
+        assert s["average"] == pytest.approx(2.0)
+        assert s["median"] == pytest.approx(2.0)
+        assert s["q1"] == pytest.approx(1.0)
+        assert s["q3"] == pytest.approx(3.0)
+        assert s["max"] == 4 and s["min"] == 0
+
+    def test_reset(self):
+        agg = self._agg_with_counts([1, 2, 3])
+        agg.reset()
+        assert agg.counts_matrix.shape == (0, 1)
+        assert agg.get_peak_times() == []
+
+    def test_multi_zone_membership_counts_each(self):
+        from office_person_detection_vit_tpu.aggregation.aggregator import Aggregator
+
+        agg = Aggregator(["a", "b"])
+        r = agg.aggregate_frame("t0", [["a", "b"], ["a"], []])
+        assert r.zone_counts["a"] == 2 and r.zone_counts["b"] == 1
+        assert r.zone_counts["unclassified"] == 1
+        # total counts each zone membership plus unclassified
+        assert r.total_count == 4
+
+    def test_csv_header_and_totals(self, tmp_path):
+        from office_person_detection_vit_tpu.aggregation.aggregator import Aggregator
+
+        agg = Aggregator(["a", "b"])
+        agg.aggregate_frame("09:00", [["a"], []])
+        p = agg.export_csv(tmp_path / "zone_counts.csv")
+        import csv as _csv
+
+        rows = list(_csv.reader(p.open()))
+        assert rows[0] == ["timestamp", "a", "b", "unclassified", "total"]
+        assert rows[1] == ["09:00", "1", "0", "1", "2"]
