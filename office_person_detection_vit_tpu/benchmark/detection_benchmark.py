@@ -233,8 +233,10 @@ class DetectionBenchmark:
             iou = _image_iou(plist, gt_boxes)
             for t in IOU_GRID:
                 flags_at[t].append(_match_image(iou, float(t)))
-            f50 = flags_at[0.5][-1]
-            itp = int(f50.sum())
+            # Working-point P/R/F1 honor the configured IoU threshold, which
+            # need not be on the AP grid (--iou CLI flag).
+            f_wp = _match_image(iou, self.iou_threshold)
+            itp = int(f_wp.sum())
             tp += itp
             fp += len(plist) - itp
             fn += len(gt_boxes) - itp

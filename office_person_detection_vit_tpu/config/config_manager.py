@@ -328,23 +328,32 @@ class ConfigManager:
         return True
 
     def _validate_ranges(self) -> list[str]:
-        # Non-numeric values are already reported by the type check; treat
-        # them as unset here instead of crashing the cast.
-        def _num(dot_path: str) -> float | None:
+        errors: list[str] = []
+
+        # detection.* non-numeric values are reported by the REQUIRED_KEYS
+        # type check; keys outside REQUIRED_KEYS (tracking.*) must report a
+        # bad-type error here or a string weight would silently pass
+        # validation and crash mid-run instead.
+        def _num(dot_path: str, *, typed_elsewhere: bool) -> float | None:
             v = self.get(dot_path)
+            if v is None:
+                return None
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 return float(v)
+            if not typed_elsewhere:
+                errors.append(
+                    f"bad type for {dot_path}: expected number, got {type(v).__name__}"
+                )
             return None
 
-        errors = []
-        conf = _num("detection.confidence_threshold")
+        conf = _num("detection.confidence_threshold", typed_elsewhere=True)
         if conf is not None and not (0.0 <= conf <= 1.0):
             errors.append("detection.confidence_threshold must be in [0, 1]")
-        bs = _num("detection.batch_size")
+        bs = _num("detection.batch_size", typed_elsewhere=True)
         if bs is not None and bs < 1:
             errors.append("detection.batch_size must be >= 1")
-        aw = _num("tracking.appearance_weight")
-        mw = _num("tracking.motion_weight")
+        aw = _num("tracking.appearance_weight", typed_elsewhere=False)
+        mw = _num("tracking.motion_weight", typed_elsewhere=False)
         if aw is not None and mw is not None and abs(aw + mw - 1.0) > 1e-6:
             errors.append("tracking.appearance_weight + motion_weight must sum to 1.0")
         method = self.get("transform.method")

@@ -115,6 +115,15 @@ class FrameResult:
             return self.timestamp.strftime("%Y-%m-%d %H:%M:%S")
         return str(self.timestamp)
 
+    @property
+    def timestamp_stem(self) -> str:
+        """Filename-safe stem shared by every artifact writer AND the
+        side-by-side pairing (export_utils._timestamp_key must re-extract
+        it from ``<prefix>_<stem>.<ext>``): ``YYYYMMDD_HHMMSS``, or the
+        zero-padded frame number when no timestamp exists."""
+        ts = self.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
+        return ts if ts else f"{self.frame_number:06d}"
+
 
 @dataclass
 class AggregationResult:

@@ -145,24 +145,29 @@ class PipelineOrchestrator:
         frames: list[np.ndarray] = []
         keep: list[FrameResult] = []
         video: VideoProcessor | None = None
+        video_open_failed = False
         try:
             for fr in self.frame_results:
                 frame = None
                 if fr.frame_path and Path(fr.frame_path).exists():
                     frame = cv2.imread(fr.frame_path)
                 if frame is None:
-                    if video is None:
-                        # The source video may itself be gone (resumed session
-                        # moved to another machine); the chain must degrade to
-                        # dropping the frame, not crash (reference :173-192).
+                    if video is None and not video_open_failed:
+                        # The source video may itself be gone or unreadable
+                        # (resumed session moved to another machine); the
+                        # chain must degrade to dropping the frame, not crash
+                        # (reference :173-192). Probe once, not per frame.
                         try:
                             video = VideoProcessor(
                                 self.config.get("video.input_path", "")
                             )
                             if not video.open():
                                 video = None
-                        except (FileNotFoundError, ValueError):
+                        except (OSError, ValueError) as e:
+                            self.logger.warning("source video unavailable: %s", e)
                             video = None
+                        if video is None:
+                            video_open_failed = True
                     if video is not None:
                         frame = video.get_frame(fr.frame_number)
                 if frame is None:

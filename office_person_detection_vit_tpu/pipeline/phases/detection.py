@@ -93,8 +93,7 @@ class DetectionPhase(BasePhase):
             self._export_detections(out, frame_results)
             if self.save_images:
                 for fr, frame in zip(frame_results, frames):
-                    ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
-                    stem = ts if ts else f"{fr.frame_number:06d}"
+                    stem = fr.timestamp_stem
                     save_detection_image(
                         frame, fr.detections, out / f"detection_{stem}.jpg"
                     )
@@ -108,8 +107,7 @@ class DetectionPhase(BasePhase):
                     amap = self.detector.get_attention_map(frame)
                     if amap is None:
                         break
-                    ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
-                    stem = ts if ts else f"{fr.frame_number:06d}"
+                    stem = fr.timestamp_stem
                     viz.overlay_attention_map(
                         frame, amap, output_path=out / f"attention_{stem}.jpg"
                     )

@@ -155,8 +155,7 @@ class TrackingPhase(BasePhase):
                 self.tracker.update(dets, timestamp)
             id_set.update(d.track_id for d in dets if d.track_id is not None)
             if self.save_images and frame is not None and output_dir is not None:
-                ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
-                stem = ts if ts else f"{fr.frame_number:06d}"
+                stem = fr.timestamp_stem
                 save_tracked_detection_image(
                     frame, dets, Path(output_dir) / f"tracked_{stem}.jpg"
                 )

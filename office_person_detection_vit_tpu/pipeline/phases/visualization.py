@@ -60,8 +60,7 @@ class VisualizationPhase(BasePhase):
 
             def _render(i_fr):
                 i, fr = i_fr
-                ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
-                stem = ts if ts else f"{fr.frame_number:06d}"
+                stem = fr.timestamp_stem
                 traj = self.floormap_visualizer.collect_trajectories(frame_results, up_to=i)
                 return self.floormap_visualizer.visualize_frame(
                     fr, floormap_dir / f"floormap_{stem}.png", trajectories=traj
@@ -83,9 +82,7 @@ class VisualizationPhase(BasePhase):
             if bool(self.config.get("output.side_by_side_zoom", False)):
                 points_by_key = {}
                 for fr in frame_results:
-                    ts = fr.timestamp_str.replace(":", "").replace("-", "").replace(" ", "_")
-                    key = ts if ts else f"{fr.frame_number:06d}"
-                    points_by_key[key] = [
+                    points_by_key[fr.timestamp_stem] = [
                         d.floor_coords_px for d in fr.detections
                         if d.floor_coords_px is not None
                     ]

@@ -41,27 +41,14 @@ class SimilarityCalculator:
     # ----------------------------------------------------------------- IoU
     @staticmethod
     def iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
-        """(N, 4) x (M, 4) xywh -> (N, M) IoU (matches ops/boxes.py
-        iou_matrix_xywh semantics)."""
+        """(N, 4) x (M, 4) xywh -> (N, M) IoU. Delegates to the canonical
+        host implementation (ops/boxes.iou_matrix_xywh_np) so tracking and
+        benchmark IoU can never drift apart."""
+        from ..ops.boxes import iou_matrix_xywh_np
+
         if len(boxes_a) == 0 or len(boxes_b) == 0:
             return np.zeros((len(boxes_a), len(boxes_b)), np.float32)
-        a = np.asarray(boxes_a, np.float32)
-        b = np.asarray(boxes_b, np.float32)
-        ax1, ay1 = a[:, 0], a[:, 1]
-        ax2, ay2 = a[:, 0] + a[:, 2], a[:, 1] + a[:, 3]
-        bx1, by1 = b[:, 0], b[:, 1]
-        bx2, by2 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
-        ix1 = np.maximum(ax1[:, None], bx1[None, :])
-        iy1 = np.maximum(ay1[:, None], by1[None, :])
-        ix2 = np.minimum(ax2[:, None], bx2[None, :])
-        iy2 = np.minimum(ay2[:, None], by2[None, :])
-        inter = np.maximum(ix2 - ix1, 0.0) * np.maximum(iy2 - iy1, 0.0)
-        area_a = np.maximum(ax2 - ax1, 0.0) * np.maximum(ay2 - ay1, 0.0)
-        area_b = np.maximum(bx2 - bx1, 0.0) * np.maximum(by2 - by1, 0.0)
-        union = area_a[:, None] + area_b[None, :] - inter
-        return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0).astype(
-            np.float32
-        )
+        return iou_matrix_xywh_np(boxes_a, boxes_b)
 
     @classmethod
     def iou_distance_matrix(cls, boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:

@@ -178,3 +178,43 @@ class TestBaselineReport:
     def test_failed_status_fails(self, tmp_path):
         report = evaluate_session(self._session(tmp_path, status="failed"))
         assert not report["checks"]["status_completed"]["passed"]
+
+
+class TestCvatSentinelBounds:
+    def test_no_sentinel_past_task_size(self, tmp_path):
+        """A keyframe on the final task frame must not emit an outside=1
+        sentinel at frame == size (out of the declared 0..size-1 range)."""
+        coco = _coco(
+            tmp_path,
+            anns=[
+                {"id": 1, "image_id": 1, "bbox": [10, 10, 20, 30], "track_id": 1},
+                {"id": 2, "image_id": 2, "bbox": [12, 11, 20, 30], "track_id": 1},
+            ],
+        )
+        out = tmp_path / "t.xml"
+        coco_to_cvat_tracks(coco, out)
+        root = ET.parse(out).getroot()
+        size = int(root.find("meta/task/size").text)
+        frames = [int(b.get("frame")) for t in root.findall("track") for b in t.findall("box")]
+        assert max(frames) <= size - 1
+
+    def test_mid_track_gap_still_gets_sentinel(self, tmp_path):
+        images = [
+            {"id": i, "file_name": f"f{i}.jpg", "width": 100, "height": 100}
+            for i in range(1, 5)
+        ]
+        coco = _coco(
+            tmp_path,
+            images=images,
+            anns=[
+                {"id": 1, "image_id": 1, "bbox": [0, 0, 10, 10], "track_id": 1},
+                {"id": 2, "image_id": 4, "bbox": [5, 5, 10, 10], "track_id": 1},
+            ],
+        )
+        out = tmp_path / "t.xml"
+        coco_to_cvat_tracks(coco, out)
+        root = ET.parse(out).getroot()
+        outside = [b for t in root.findall("track") for b in t.findall("box")
+                   if b.get("outside") == "1"]
+        assert len(outside) == 1  # closes the gap after frame 0
+        assert outside[0].get("frame") == "1"

@@ -62,6 +62,7 @@ def coco_to_cvat_tracks(
     ET.SubElement(orig, "width").text = str(width)
     ET.SubElement(orig, "height").text = str(height)
 
+    n_frames = len(images)
     for out_id, (_tid, boxes) in enumerate(sorted(tracks.items())):
         tr = ET.SubElement(root, "track", id=str(out_id), label=label, source="manual")
         boxes.sort(key=lambda fb: fb[0])
@@ -75,10 +76,12 @@ def coco_to_cvat_tracks(
             )
             # CVAT tracks are interpolated between keyframes; close each
             # track with an outside=1 sentinel on the following frame so a
-            # gap is not filled with phantom boxes.
+            # gap is not filled with phantom boxes. A keyframe on the task's
+            # final frame needs no sentinel (frame+1 would exceed the
+            # declared task size and can fail CVAT import validation).
             is_last = i == len(boxes) - 1
             next_frame = boxes[i + 1][0] if not is_last else frame + 1
-            if next_frame > frame + 1 or is_last:
+            if (next_frame > frame + 1 or is_last) and frame + 1 < n_frames:
                 ET.SubElement(
                     tr, "box",
                     frame=str(frame + 1),

@@ -64,6 +64,8 @@ def evaluate_session(session_dir: Path) -> dict:
 
 
 def latest_session(output_dir: Path) -> Path | None:
+    if not output_dir.is_dir():
+        return None
     latest = output_dir / "latest"
     if latest.is_symlink() and latest.exists():
         return latest.resolve()
@@ -77,8 +79,20 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--session", type=Path, default=None,
                         help="evaluate an existing session instead of running")
     parser.add_argument("--tag", default="baseline")
-    parser.add_argument("--output-dir", type=Path, default=Path("output"))
+    parser.add_argument("--output-dir", type=Path, default=None,
+                        help="defaults to the config's output.directory")
     args = parser.parse_args(argv)
+
+    if args.output_dir is None:
+        out_dir = Path("output")
+        try:
+            import yaml
+
+            cfg = yaml.safe_load(args.config.read_text()) or {}
+            out_dir = Path((cfg.get("output") or {}).get("directory", "output"))
+        except OSError:
+            pass
+        args.output_dir = out_dir
 
     if args.session is None:
         proc = subprocess.run(
