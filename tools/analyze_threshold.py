@@ -35,6 +35,36 @@ def main(argv: list[str] | None = None) -> int:
     )
     args.output.write_text(json.dumps(sweep, indent=2))
     best = sweep["best_threshold"]
+
+    # P/R/F1-vs-threshold curve PNG beside the JSON (the reference commits
+    # threshold_yolov8.png next to threshold_yolov8.json).
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rows = sweep["sweep"]
+        ts = [r["threshold"] for r in rows]
+        fig, ax = plt.subplots(figsize=(9, 5))
+        for key, style in (("precision", "--"), ("recall", ":"), ("f1", "-")):
+            ax.plot(ts, [r[key] for r in rows], style, marker="o", ms=3, label=key)
+        ax.axvline(best, color="gray", alpha=0.5, lw=1)
+        ax.annotate(f"best {best}", (best, sweep["best_f1"]),
+                    textcoords="offset points", xytext=(6, 6), fontsize=8)
+        ax.set_xlabel("confidence threshold")
+        ax.set_ylabel("score")
+        ax.set_title("Detection threshold sweep")
+        ax.grid(alpha=0.3)
+        ax.legend()
+        png = args.output.with_suffix(".png")
+        fig.tight_layout()
+        fig.savefig(png, dpi=120)
+        plt.close(fig)
+        print(f"plot -> {png}")
+    except Exception as e:  # plotting is best-effort
+        print(f"plot skipped: {e}")
+
     print(f"best threshold {best} (F1 {sweep['best_f1']:.4f}) -> {args.output}")
     return 0
 
