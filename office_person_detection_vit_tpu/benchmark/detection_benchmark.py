@@ -74,14 +74,17 @@ def _image_iou(
     )
 
 
-def _match_image(iou: np.ndarray, iou_threshold: float) -> np.ndarray:
+def _match_image_detail(
+    iou: np.ndarray, iou_threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
     """Score-ordered greedy matching over a precomputed IoU matrix; returns
-    bool TP flag per pred (rows must be sorted by descending score)."""
+    (bool TP flag per pred, bool matched flag per GT). Rows must be sorted
+    by descending score."""
     P, G = iou.shape
     tp_flags = np.zeros(P, bool)
-    if P == 0 or G == 0:
-        return tp_flags
     taken = np.zeros(G, bool)
+    if P == 0 or G == 0:
+        return tp_flags, taken
     for i in range(P):
         order = np.argsort(-iou[i])
         for g in order:
@@ -91,7 +94,11 @@ def _match_image(iou: np.ndarray, iou_threshold: float) -> np.ndarray:
                 taken[g] = True
                 tp_flags[i] = True
                 break
-    return tp_flags
+    return tp_flags, taken
+
+
+def _match_image(iou: np.ndarray, iou_threshold: float) -> np.ndarray:
+    return _match_image_detail(iou, iou_threshold)[0]
 
 
 def average_precision(
@@ -235,15 +242,34 @@ class DetectionBenchmark:
                 flags_at[t].append(_match_image(iou, float(t)))
             # Working-point P/R/F1 honor the configured IoU threshold, which
             # need not be on the AP grid (--iou CLI flag).
-            f_wp = _match_image(iou, self.iou_threshold)
+            f_wp, gt_matched = _match_image_detail(iou, self.iou_threshold)
             itp = int(f_wp.sum())
             tp += itp
             fp += len(plist) - itp
             fn += len(gt_boxes) - itp
+            # Per-box diagnostics (reference detection_benchmark.py:101-136
+            # contract: detection_fp.jsonl with score + best_iou,
+            # detection_fn.jsonl with the missed GT boxes).
+            fp_boxes = [
+                {
+                    "bbox": [float(v) for v in p.bbox],
+                    "score": float(p.score),
+                    "best_iou": float(iou[i].max()) if iou.shape[1] else 0.0,
+                }
+                for i, p in enumerate(plist)
+                if not f_wp[i]
+            ]
+            fn_boxes = [
+                {"bbox": [float(v) for v in gt_boxes[g]], "gt_index": int(g)}
+                for g in range(len(gt_boxes))
+                if not gt_matched[g]
+            ]
             per_image[name] = {
                 "tp": itp,
                 "fp": len(plist) - itp,
                 "fn": len(gt_boxes) - itp,
+                "fp_boxes": fp_boxes,
+                "fn_boxes": fn_boxes,
             }
 
         scores = np.asarray(all_scores, np.float64)
@@ -299,7 +325,26 @@ class DetectionBenchmark:
             with paths["diagnostics"].open("w") as f:
                 for name, d in result.per_image.items():
                     if d["fp"] or d["fn"]:
-                        f.write(json.dumps({"image": name, **d}) + "\n")
+                        f.write(
+                            json.dumps(
+                                {"image": name, "tp": d["tp"], "fp": d["fp"], "fn": d["fn"]}
+                            )
+                            + "\n"
+                        )
+            # Per-box FP/FN files (reference diagnostics/ layout:
+            # detection_fp.jsonl / detection_fn.jsonl).
+            diag_dir = out / "diagnostics"
+            diag_dir.mkdir(exist_ok=True)
+            paths["fp_jsonl"] = diag_dir / "detection_fp.jsonl"
+            paths["fn_jsonl"] = diag_dir / "detection_fn.jsonl"
+            with paths["fp_jsonl"].open("w") as f:
+                for name, d in result.per_image.items():
+                    for box in d.get("fp_boxes", []):
+                        f.write(json.dumps({"image": name, **box}) + "\n")
+            with paths["fn_jsonl"].open("w") as f:
+                for name, d in result.per_image.items():
+                    for box in d.get("fn_boxes", []):
+                        f.write(json.dumps({"image": name, **box}) + "\n")
         md = [
             "# Detection Benchmark",
             "",

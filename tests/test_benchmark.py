@@ -501,3 +501,23 @@ class TestReferenceGoldGTKeyStyle:
         p.write_text(json.dumps(gold))
         with pytest.raises(KeyError):
             load_gold_gt(p)
+
+
+class TestPerBoxDiagnostics:
+    def test_fp_fn_jsonl_files(self, tmp_path):
+        """Per-box diagnostics match the reference diagnostics/ layout:
+        detection_fp.jsonl (score + best_iou) and detection_fn.jsonl."""
+        gt = {"a.jpg": np.asarray([[0, 0, 10, 10], [50, 50, 10, 10]], np.float32)}
+        preds = [
+            DetectionRecord("a.jpg", (0.0, 0.0, 10.0, 10.0), 0.9),     # TP
+            DetectionRecord("a.jpg", (200.0, 200.0, 10.0, 10.0), 0.7),  # FP
+        ]
+        bench = DetectionBenchmark()
+        result = bench.evaluate(preds, gt)
+        paths = bench.export(result, tmp_path)
+        fp_rows = [json.loads(x) for x in paths["fp_jsonl"].read_text().splitlines()]
+        fn_rows = [json.loads(x) for x in paths["fn_jsonl"].read_text().splitlines()]
+        assert len(fp_rows) == 1 and len(fn_rows) == 1
+        assert fp_rows[0]["score"] == 0.7
+        assert fp_rows[0]["best_iou"] == 0.0
+        assert fn_rows[0]["bbox"] == [50.0, 50.0, 10.0, 10.0]
