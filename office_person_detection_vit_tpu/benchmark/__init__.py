@@ -62,8 +62,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"FP     {result.fp:8d}")
         print(f"FN     {result.fn:8d}")
     if args.report:
+        events: dict[str, list] = {}
+        evaluate_mot(gt, hyp, events_out=events)
         TrackingBenchmark.export(
-            result, args.report, TrackingBenchmark.diagnostics(gt, hyp), hota=hota
+            result, args.report, TrackingBenchmark.diagnostics(gt, hyp),
+            hota=hota, events=events,
         )
     return 0
 

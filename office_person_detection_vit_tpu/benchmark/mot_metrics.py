@@ -77,8 +77,23 @@ def _iou_distance(gt_boxes: np.ndarray, hyp_boxes: np.ndarray) -> np.ndarray:
     return dist
 
 
-def evaluate_mot(gt: FrameAnnotations, hyp: FrameAnnotations) -> MOTResult:
-    """CLEAR-MOT + identity metrics over the union of frames."""
+def evaluate_mot(
+    gt: FrameAnnotations,
+    hyp: FrameAnnotations,
+    events_out: dict[str, list] | None = None,
+) -> MOTResult:
+    """CLEAR-MOT + identity metrics over the union of frames.
+
+    When ``events_out`` is given it is filled with per-event diagnostics in
+    the reference's committed JSONL row shapes (diagnostics/
+    id_switches.jsonl / missed_detections.jsonl / false_positives.jsonl):
+    ``id_switches`` (old/new hyp id for a GT), ``missed_detections`` (FN GT
+    boxes per frame), ``false_positives`` (unmatched hyp boxes per frame).
+    """
+    if events_out is not None:
+        events_out.setdefault("id_switches", [])
+        events_out.setdefault("missed_detections", [])
+        events_out.setdefault("false_positives", [])
     frames = sorted(set(gt) | set(hyp))
     last_match: dict[int, int] = {}  # gt id -> last hyp id matched
     fp = fn = idsw = num_objects = 0
@@ -135,12 +150,48 @@ def evaluate_mot(gt: FrameAnnotations, hyp: FrameAnnotations) -> MOTResult:
                 prev = last_match.get(gid)
                 if prev is not None and prev != hid:
                     idsw += 1
+                    if events_out is not None:
+                        events_out["id_switches"].append(
+                            {
+                                "frame_idx": int(f),
+                                "old_track_id": int(prev),
+                                "new_track_id": int(hid),
+                                "gt_id": int(gid),
+                                "bbox": [float(v) for v in gt_list[gi][1]],
+                                "iou": float(1.0 - dist[gi, hi]),
+                            }
+                        )
                 last_match[gid] = hid
             fn += len(gt_list) - len(matches)
             fp += len(hyp_list) - len(matches)
+            if events_out is not None:
+                for gi, (gid, bb) in enumerate(gt_list):
+                    if gi not in matches:
+                        events_out["missed_detections"].append(
+                            {"frame_idx": int(f), "gt_id": int(gid),
+                             "bbox": [float(v) for v in bb]}
+                        )
+                matched_h = set(matches.values())
+                for hi, (hid, bb) in enumerate(hyp_list):
+                    if hi not in matched_h:
+                        events_out["false_positives"].append(
+                            {"frame_idx": int(f), "pred_id": int(hid),
+                             "bbox": [float(v) for v in bb]}
+                        )
         else:
             fn += len(gt_list)
             fp += len(hyp_list)
+            if events_out is not None:
+                for gid, bb in gt_list:
+                    events_out["missed_detections"].append(
+                        {"frame_idx": int(f), "gt_id": int(gid),
+                         "bbox": [float(v) for v in bb]}
+                    )
+                for hid, bb in hyp_list:
+                    events_out["false_positives"].append(
+                        {"frame_idx": int(f), "pred_id": int(hid),
+                         "bbox": [float(v) for v in bb]}
+                    )
 
     # ------------------------------------------------------- identity (ID*)
     gids = sorted(gt_frames)

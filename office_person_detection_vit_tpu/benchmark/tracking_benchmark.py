@@ -122,6 +122,7 @@ class TrackingBenchmark:
         output_dir: str | Path,
         diagnostics: dict[str, Any] | None = None,
         hota=None,
+        events: dict[str, list] | None = None,
     ) -> dict[str, Path]:
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
@@ -153,4 +154,16 @@ class TrackingBenchmark:
         if diagnostics is not None:
             paths["diagnostics"] = out / "tracking_diagnostics.json"
             paths["diagnostics"].write_text(json.dumps(diagnostics, indent=2))
+        if events is not None:
+            # Per-event JSONL files (reference diagnostics/ layout:
+            # id_switches.jsonl / missed_detections.jsonl /
+            # false_positives.jsonl).
+            diag_dir = out / "diagnostics"
+            diag_dir.mkdir(exist_ok=True)
+            for name in ("id_switches", "missed_detections", "false_positives"):
+                p = diag_dir / f"{name}.jsonl"
+                with p.open("w") as fh:
+                    for row in events.get(name, []):
+                        fh.write(json.dumps(row) + "\n")
+                paths[name] = p
         return paths

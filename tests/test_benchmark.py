@@ -521,3 +521,41 @@ class TestPerBoxDiagnostics:
         assert fp_rows[0]["score"] == 0.7
         assert fp_rows[0]["best_iou"] == 0.0
         assert fn_rows[0]["bbox"] == [50.0, 50.0, 10.0, 10.0]
+
+
+class TestTrackingEventDiagnostics:
+    """Per-event JSONL diagnostics in the reference's diagnostics/ layout
+    (id_switches / missed_detections / false_positives)."""
+
+    def _scenario(self):
+        gt = {1: [(1, (0, 0, 10, 10))], 2: [(1, (2, 0, 10, 10))],
+              3: [(1, (4, 0, 10, 10))]}
+        hyp = {1: [(7, (0, 0, 10, 10))],
+               2: [(8, (2, 0, 10, 10)), (9, (100, 100, 5, 5))],
+               3: []}
+        return gt, hyp
+
+    def test_events_collected(self):
+        gt, hyp = self._scenario()
+        events = {}
+        result = evaluate_mot(gt, hyp, events_out=events)
+        assert result.idsw == 1 and result.fp == 1 and result.fn == 1
+        sw = events["id_switches"][0]
+        assert (sw["old_track_id"], sw["new_track_id"], sw["gt_id"]) == (7, 8, 1)
+        assert sw["frame_idx"] == 2 and sw["iou"] == pytest.approx(1.0)
+        assert events["false_positives"][0]["pred_id"] == 9
+        assert events["missed_detections"][0]["frame_idx"] == 3
+
+    def test_export_writes_jsonl_files(self, tmp_path):
+        gt, hyp = self._scenario()
+        events = {}
+        result = evaluate_mot(gt, hyp, events_out=events)
+        paths = TrackingBenchmark.export(result, tmp_path, events=events)
+        for name in ("id_switches", "missed_detections", "false_positives"):
+            rows = [json.loads(x) for x in paths[name].read_text().splitlines()]
+            assert len(rows) == 1
+
+    def test_no_events_without_request(self):
+        gt, hyp = self._scenario()
+        result = evaluate_mot(gt, hyp)  # no events_out: unchanged behavior
+        assert result.idsw == 1
