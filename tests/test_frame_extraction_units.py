@@ -1,0 +1,140 @@
+"""FrameExtractionPipeline unit tests (reference
+tests/test_frame_extraction_pipeline.py analog, beyond the e2e coverage):
+time-compression mapping, target-grid generation, nearest-frame selection,
+CSV contract; plus direct ResNet backbone shape/stride properties."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+from office_person_detection_vit_tpu.pipeline.frame_extraction_pipeline import (
+    FrameExtractionPipeline,
+)
+from tests.helpers.synthetic_video import write_video
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    base = tmp_path_factory.mktemp("fx")
+    video = base / "v.mp4"
+    write_video(video, num_frames=10, fps=30)
+    cfg = ConfigManager.from_dict(
+        {
+            "video": {
+                "input_path": str(video), "fps": 30,
+                "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                "time_compression_ratio": 313.0,
+            },
+            "detection": {"confidence_threshold": 0.5, "batch_size": 2, "device": "cpu"},
+            "output": {"directory": str(base / "out")},
+        }
+    )
+    return FrameExtractionPipeline(cfg, output_dir=base / "out" / "01_extraction")
+
+
+T0 = datetime(2025, 1, 20, 9, 0, 0)
+
+
+class TestTimeCompression:
+    def test_wall_clock_to_video_seconds(self, pipeline):
+        # 313 wall seconds = 1 video second at ratio 313
+        assert pipeline._to_video_seconds(313.0) == pytest.approx(1.0)
+        assert pipeline._to_video_seconds(626.0) == pytest.approx(2.0)
+
+    def test_floor_at_one_frame(self, pipeline):
+        # tiny interval still advances at least one frame (1/30 s)
+        assert pipeline._to_video_seconds(0.001) == pytest.approx(1 / 30)
+
+
+class TestTargetGeneration:
+    def _ts_map(self, minutes):
+        return {
+            i * 30: (T0 + timedelta(minutes=m), 0.9) for i, m in enumerate(minutes)
+        }
+
+    def test_five_minute_grid(self, pipeline):
+        targets = pipeline._generate_targets(self._ts_map([2, 7, 12, 17]))
+        assert targets == [
+            T0 + timedelta(minutes=5),
+            T0 + timedelta(minutes=10),
+            T0 + timedelta(minutes=15),
+        ]
+
+    def test_start_on_boundary_included(self, pipeline):
+        targets = pipeline._generate_targets(self._ts_map([5, 10, 15]))
+        assert targets[0] == T0 + timedelta(minutes=5)
+        assert targets[-1] == T0 + timedelta(minutes=15)
+
+    def test_single_timestamp_window(self, pipeline):
+        targets = pipeline._generate_targets(self._ts_map([5]))
+        assert targets == [T0 + timedelta(minutes=5)]
+
+
+class TestNearestSelection:
+    def test_nearest_within_tolerance(self, pipeline):
+        timestamps = {
+            100: (T0 + timedelta(minutes=5, seconds=20), 0.9),
+            200: (T0 + timedelta(minutes=9, seconds=50), 0.8),
+        }
+        targets = [T0 + timedelta(minutes=5), T0 + timedelta(minutes=10)]
+        rows = pipeline._select_nearest(timestamps, targets)
+        assert [r.frame_number for r in rows] == [100, 200]
+        assert rows[0].time_error_seconds == pytest.approx(20.0)
+        assert rows[1].time_error_seconds == pytest.approx(10.0)
+
+    def test_out_of_tolerance_skipped(self, pipeline):
+        timestamps = {100: (T0 + timedelta(minutes=8), 0.9)}
+        rows = pipeline._select_nearest(timestamps, [T0 + timedelta(minutes=5)])
+        assert rows == []  # 180 s > 60 s tolerance
+
+    def test_frame_used_at_most_once(self, pipeline):
+        timestamps = {100: (T0 + timedelta(minutes=5), 0.9)}
+        targets = [T0 + timedelta(minutes=5), T0 + timedelta(minutes=5, seconds=30)]
+        rows = pipeline._select_nearest(timestamps, targets)
+        assert len(rows) == 1
+
+    def test_csv_contract(self, pipeline, tmp_path):
+        timestamps = {100: (T0 + timedelta(minutes=5, seconds=3), 0.87)}
+        rows = pipeline._select_nearest(timestamps, [T0 + timedelta(minutes=5)])
+        path = pipeline._write_csv(rows)
+        lines = path.read_text().strip().splitlines()
+        assert lines[0] == (
+            "frame_number,timestamp,target_timestamp,confidence,"
+            "time_error_seconds,frame_path"
+        )
+        assert lines[1].startswith("100,2025-01-20 09:05:03,2025-01-20 09:05:00,0.870,3.0")
+
+
+class TestResNetBackbone:
+    def test_stride32_feature_map(self):
+        import jax
+
+        from office_person_detection_vit_tpu.models.resnet import ResNet
+
+        model = ResNet(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+                       embedding_size=8)
+        x = np.zeros((1, 64, 96, 3), np.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(vars_, x)
+        feat = out[-1] if isinstance(out, (tuple, list)) else out
+        assert feat.shape[1] == 64 // 32 and feat.shape[2] == 96 // 32
+
+    def test_frozen_bn_is_pure_affine(self):
+        import jax
+        import jax.numpy as jnp
+
+        from office_person_detection_vit_tpu.models.resnet import FrozenBatchNorm
+
+        bn = FrozenBatchNorm(4)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 3, 4)), jnp.float32)
+        vars_ = bn.init(jax.random.PRNGKey(0), x)
+        params = vars_["params"]
+        scale = np.asarray(params["scale"])
+        bias = np.asarray(params["bias"])
+        out = np.asarray(bn.apply(vars_, x))
+        np.testing.assert_allclose(out, np.asarray(x) * scale + bias, atol=1e-6)
+        # no batch statistics: identical for any other batch content scale
+        out2 = np.asarray(bn.apply(vars_, x * 100))
+        np.testing.assert_allclose(out2, np.asarray(x) * 100 * scale + bias, atol=1e-4)
