@@ -80,7 +80,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "input_height": 736,
         "input_width": 1280,
         "dtype": "bfloat16",
-        "use_pallas_attention": True,
+        "use_pallas_attention": False,  # XLA attention measures faster at DETR's ~1k-token scale (368 vs 336 f/s on v5e); the Pallas flash kernel is for long-context variants
         # full | tiny (tests / dry runs)
         "model_size": "full",
         # bgr | i420 (i420 halves host->device bytes; costs a host cvtColor)
@@ -234,7 +234,7 @@ class StaticHParams:
             input_width=int(cfg.get("detection.input_width", 1280)),
             confidence_threshold=float(cfg.get("detection.confidence_threshold", 0.5)),
             dtype=str(cfg.get("detection.dtype", "bfloat16")),
-            use_pallas_attention=bool(cfg.get("detection.use_pallas_attention", True)),
+            use_pallas_attention=bool(cfg.get("detection.use_pallas_attention", False)),
         )
 
 

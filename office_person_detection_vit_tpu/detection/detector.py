@@ -72,7 +72,7 @@ class DETRDetector:
             common = dict(
                 num_queries=int(get("detection.num_queries", 100)),
                 dtype=str(get("detection.dtype", "bfloat16")),
-                use_pallas_attention=bool(get("detection.use_pallas_attention", True)),
+                use_pallas_attention=bool(get("detection.use_pallas_attention", False)),
             )
             # model_size=tiny gives a small random-init model for tests and
             # multi-chip dry runs; "full" is the DETR-ResNet50 architecture.
