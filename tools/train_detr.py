@@ -123,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         DETRConfig.tiny(use_pallas_attention=False, remat=args.remat)
         if args.tiny
         else DETRConfig(dtype="bfloat16", remat=args.remat,
-                        use_pallas_attention=jax.default_backend() == "tpu")
+                        use_pallas_attention=False)  # XLA attention faster at DETR scale (measured)
     )
     model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
     if args.init:
