@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat coco-to-cvat cvat-to-mot validate-annotation baseline mot-evaluate deps-check dryrun clean
+.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat coco-to-cvat cvat-to-mot validate-annotation baseline mot-evaluate deps-check parity dryrun clean
 
 help:  ## list targets
 	@grep -E '^[a-z-]+:' Makefile | cut -d: -f1 | sort
@@ -102,6 +102,11 @@ mot-evaluate:
 
 deps-check:
 	$(PYTHON) tools/check_dependencies.py
+
+# Drop-in parity vs the reference's committed artifacts (skipped when the
+# upstream checkout is absent) — see BASELINE.md "metric parity".
+parity:
+	$(PYTHON) -m pytest tests/test_reference_parity.py -v
 
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
