@@ -398,3 +398,92 @@ class TestMultiScaleAssignment:
         assert box[3] == pytest.approx(16.0, abs=0.5)
         assert box[0] + box[2] / 2 == pytest.approx(28.0, abs=0.5)
         assert box[1] + box[3] / 2 == pytest.approx(20.0, abs=0.5)
+
+
+class TestMatchingCost:
+    def test_perfect_prediction_minimizes_cost(self):
+        import jax.numpy as jnp
+
+        from office_person_detection_vit_tpu.training.matcher import matching_cost
+
+        Q, C = 4, 3
+        logits = np.full((Q, C + 1), -5.0, np.float32)
+        logits[1, 2] = 8.0  # query 1 confidently predicts class 2
+        boxes = np.full((Q, 4), 0.5, np.float32)
+        boxes[1] = [0.3, 0.3, 0.1, 0.1]
+        cost = np.asarray(
+            matching_cost(
+                jnp.asarray(logits), jnp.asarray(boxes),
+                jnp.asarray([2]), jnp.asarray([[0.3, 0.3, 0.1, 0.1]], np.float32),
+            )
+        )
+        assert cost.shape == (1, Q)
+        assert cost.argmin() == 1
+
+    def test_weights_scale_components(self):
+        import jax.numpy as jnp
+
+        from office_person_detection_vit_tpu.training.matcher import matching_cost
+
+        logits = np.zeros((2, 3), np.float32)
+        boxes = np.asarray([[0.5, 0.5, 0.2, 0.2], [0.9, 0.9, 0.1, 0.1]], np.float32)
+        tgt = jnp.asarray([[0.5, 0.5, 0.2, 0.2]], jnp.float32)
+        c_bbox_only = np.asarray(
+            matching_cost(jnp.asarray(logits), jnp.asarray(boxes),
+                          jnp.asarray([0]), tgt, w_class=0, w_bbox=1, w_giou=0)
+        )
+        assert c_bbox_only[0, 0] == pytest.approx(0.0, abs=1e-6)
+        assert c_bbox_only[0, 1] > 0
+
+
+class TestAuctionEdgeCases:
+    def test_single_row(self):
+        from office_person_detection_vit_tpu.training.matcher import (
+            auction_assignment,
+        )
+
+        benefit = jnp.asarray([[0.1, 0.9, 0.5]], jnp.float32)
+        col = np.asarray(auction_assignment(benefit))
+        assert col[0] == 1
+
+    def test_square_identity_benefit(self):
+        from office_person_detection_vit_tpu.training.matcher import (
+            auction_assignment,
+        )
+
+        benefit = jnp.eye(5, dtype=jnp.float32)
+        cols = np.asarray(auction_assignment(benefit))
+        assert sorted(cols.tolist()) == list(range(5))
+        np.testing.assert_array_equal(cols, np.arange(5))
+
+    def test_all_equal_benefit_still_valid_matching(self):
+        from office_person_detection_vit_tpu.training.matcher import (
+            auction_assignment,
+        )
+
+        benefit = jnp.ones((4, 6), jnp.float32)
+        cols = np.asarray(auction_assignment(benefit))
+        assert len(set(cols.tolist())) == 4  # distinct columns
+
+
+class TestPackTargets:
+    def test_ragged_packing(self):
+        from office_person_detection_vit_tpu.training import pack_targets
+
+        labels, boxes, valid = pack_targets(
+            [[(0.1, 0.1, 0.2, 0.2)], [(0.3, 0.3, 0.1, 0.1), (0.5, 0.5, 0.2, 0.2)], []],
+            [[1], [2, 3], []],
+            capacity=4,
+        )
+        assert labels.shape == (3, 4) and boxes.shape == (3, 4, 4)
+        assert np.asarray(valid).sum() == 3
+        assert int(labels[1, 1]) == 3
+        assert not np.asarray(valid)[2].any()
+
+    def test_capacity_clamp(self):
+        from office_person_detection_vit_tpu.training import pack_targets
+
+        labels, boxes, valid = pack_targets(
+            [[(0.1, 0.1, 0.1, 0.1)] * 6], [[1] * 6], capacity=3
+        )
+        assert np.asarray(valid).sum() == 3
