@@ -125,9 +125,17 @@ def _compute_ceiling(detector, frames: np.ndarray) -> float:
 
     batch = frames.shape[0]
     iters = 16
-    # The chained program consumes raw BGR frames regardless of the
-    # autotuned transfer format.
-    jit_detect = detector._jits.get("bgr", detector._jit_detect)
+    # The chained program consumes raw BGR frames; if only the i420
+    # program was built (transfer_format: i420), build the bgr one — the
+    # i420 program expects planar (F, H*3/2, W) input and would reject or
+    # mangle these 4-D frames.
+    jit_detect = detector._jits.get("bgr")
+    if jit_detect is None:
+        fmt = detector.transfer_format
+        detector.transfer_format = "bgr"
+        detector._build_jits()
+        jit_detect = detector._jits["bgr"]
+        detector.transfer_format = fmt
     variables = detector.variables
     orig_wh = jnp.asarray([frames.shape[2], frames.shape[1]], jnp.float32)
 

@@ -39,7 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     bench = TrackingBenchmark(sparse=args.sparse)
-    result = bench.evaluate_from_files(args.gt, args.pred, gt_format=args.gt_format)
+    events: dict[str, list] = {}
+    result = bench.evaluate_from_files(
+        args.gt, args.pred, gt_format=args.gt_format,
+        events_out=events if args.report else None,
+    )
     gt = (
         load_gold_gt(args.gt) if args.gt_format == "gold" else load_mot_csv(args.gt)
     )
@@ -62,8 +66,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"FP     {result.fp:8d}")
         print(f"FN     {result.fn:8d}")
     if args.report:
-        events: dict[str, list] = {}
-        evaluate_mot(gt, hyp, events_out=events)
         TrackingBenchmark.export(
             result, args.report, TrackingBenchmark.diagnostics(gt, hyp),
             hota=hota, events=events,

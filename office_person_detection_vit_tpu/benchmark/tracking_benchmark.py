@@ -58,11 +58,17 @@ class TrackingBenchmark:
         self.sparse = sparse
 
     def evaluate(
-        self, gt: FrameAnnotations, hyp: FrameAnnotations
+        self,
+        gt: FrameAnnotations,
+        hyp: FrameAnnotations,
+        events_out: dict[str, list] | None = None,
     ) -> MOTResult:
+        """``events_out`` (optional) receives per-event diagnostics from the
+        SAME evaluation pass — after sparse renumbering, so event frame ids
+        always agree with the reported metrics."""
         if self.sparse:
             gt, hyp = _renumber_sparse(gt, hyp)
-        return evaluate_mot(gt, hyp)
+        return evaluate_mot(gt, hyp, events_out=events_out)
 
     def evaluate_hota(self, gt: FrameAnnotations, hyp: FrameAnnotations):
         """HOTA / DetA / AssA (Luiten et al. 2021) — beyond the reference's
@@ -78,6 +84,7 @@ class TrackingBenchmark:
         gt_path: str | Path,
         pred_path: str | Path,
         gt_format: str = "gold",
+        events_out: dict[str, list] | None = None,
     ) -> MOTResult:
         """(reference :271-298)"""
         gt = (
@@ -86,7 +93,7 @@ class TrackingBenchmark:
             else load_mot_csv(gt_path)
         )
         hyp = load_mot_csv(pred_path)
-        return self.evaluate(gt, hyp)
+        return self.evaluate(gt, hyp, events_out=events_out)
 
     # ---------------------------------------------------------- diagnostics
     @staticmethod

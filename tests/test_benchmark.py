@@ -542,9 +542,11 @@ class TestTrackingEventDiagnostics:
         assert result.idsw == 1 and result.fp == 1 and result.fn == 1
         sw = events["id_switches"][0]
         assert (sw["old_track_id"], sw["new_track_id"], sw["gt_id"]) == (7, 8, 1)
-        assert sw["frame_idx"] == 2 and sw["iou"] == pytest.approx(1.0)
+        # frame_idx is 0-based (reference gold-GT convention); internal MOT
+        # frame 2 -> frame_idx 1.
+        assert sw["frame_idx"] == 1 and sw["iou"] == pytest.approx(1.0)
         assert events["false_positives"][0]["pred_id"] == 9
-        assert events["missed_detections"][0]["frame_idx"] == 3
+        assert events["missed_detections"][0]["frame_idx"] == 2
 
     def test_export_writes_jsonl_files(self, tmp_path):
         gt, hyp = self._scenario()
@@ -559,3 +561,27 @@ class TestTrackingEventDiagnostics:
         gt, hyp = self._scenario()
         result = evaluate_mot(gt, hyp)  # no events_out: unchanged behavior
         assert result.idsw == 1
+
+
+class TestSparseEventAlignment:
+    def test_sparse_report_events_align_with_metrics(self, tmp_path):
+        """Sparse mode: events must come from the SAME renumbered evaluation
+        as the metrics — disjoint frame spaces aligned by order must produce
+        matched tracks, not all-FP/all-FN diagnostics."""
+        # GT in raw video frame numbers, predictions in 1..N sample indices.
+        (tmp_path / "gt.csv").write_text(
+            "1000,1,10,10,20,40,1,-1,-1,-1\n2000,1,12,11,20,40,1,-1,-1,-1\n"
+        )
+        (tmp_path / "pred.csv").write_text(
+            "1,5,10,10,20,40,1,-1,-1,-1\n2,5,12,11,20,40,1,-1,-1,-1\n"
+        )
+        bench = TrackingBenchmark(sparse=True)
+        events = {}
+        result = bench.evaluate_from_files(
+            tmp_path / "gt.csv", tmp_path / "pred.csv",
+            gt_format="mot", events_out=events,
+        )
+        assert result.mota == pytest.approx(1.0)
+        assert events["missed_detections"] == []
+        assert events["false_positives"] == []
+        assert events["id_switches"] == []

@@ -103,6 +103,7 @@ class TestPersistentCache:
 class TestSinePositionEmbedding:
     def test_matches_hf_torch(self):
         torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
         from transformers.models.detr.modeling_detr import (
             DetrSinePositionEmbedding,
         )
