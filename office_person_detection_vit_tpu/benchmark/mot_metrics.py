@@ -89,8 +89,11 @@ def evaluate_mot(
     id_switches.jsonl / missed_detections.jsonl / false_positives.jsonl):
     ``id_switches`` (old/new hyp id for a GT), ``missed_detections`` (FN GT
     boxes per frame), ``false_positives`` (unmatched hyp boxes per frame).
-    Event rows carry ``frame_idx`` 0-based (reference convention: its gold
-    GT's frame_idx; our internal MOT FrameId is 1-based, see load_gold_gt).
+    Event rows carry the 1-based evaluation FrameId under the key
+    ``frame_idx`` — the reference's own committed diagnostics do exactly
+    this (its missed_detections.jsonl row for the gold-GT box at frame_idx
+    4 reads "frame_idx": 5), i.e. the key name is inherited but the value
+    is the MOT frame id, one above the gold JSON's 0-based frame_idx.
     """
     if events_out is not None:
         events_out.setdefault("id_switches", [])
@@ -155,7 +158,7 @@ def evaluate_mot(
                     if events_out is not None:
                         events_out["id_switches"].append(
                             {
-                                "frame_idx": int(f) - 1,
+                                "frame_idx": int(f),
                                 "old_track_id": int(prev),
                                 "new_track_id": int(hid),
                                 "gt_id": int(gid),
@@ -170,14 +173,14 @@ def evaluate_mot(
                 for gi, (gid, bb) in enumerate(gt_list):
                     if gi not in matches:
                         events_out["missed_detections"].append(
-                            {"frame_idx": int(f) - 1, "gt_id": int(gid),
+                            {"frame_idx": int(f), "gt_id": int(gid),
                              "bbox": [float(v) for v in bb]}
                         )
                 matched_h = set(matches.values())
                 for hi, (hid, bb) in enumerate(hyp_list):
                     if hi not in matched_h:
                         events_out["false_positives"].append(
-                            {"frame_idx": int(f) - 1, "pred_id": int(hid),
+                            {"frame_idx": int(f), "pred_id": int(hid),
                              "bbox": [float(v) for v in bb]}
                         )
         else:
@@ -186,12 +189,12 @@ def evaluate_mot(
             if events_out is not None:
                 for gid, bb in gt_list:
                     events_out["missed_detections"].append(
-                        {"frame_idx": int(f) - 1, "gt_id": int(gid),
+                        {"frame_idx": int(f), "gt_id": int(gid),
                          "bbox": [float(v) for v in bb]}
                     )
                 for hid, bb in hyp_list:
                     events_out["false_positives"].append(
-                        {"frame_idx": int(f) - 1, "pred_id": int(hid),
+                        {"frame_idx": int(f), "pred_id": int(hid),
                          "bbox": [float(v) for v in bb]}
                     )
 

@@ -542,11 +542,12 @@ class TestTrackingEventDiagnostics:
         assert result.idsw == 1 and result.fp == 1 and result.fn == 1
         sw = events["id_switches"][0]
         assert (sw["old_track_id"], sw["new_track_id"], sw["gt_id"]) == (7, 8, 1)
-        # frame_idx is 0-based (reference gold-GT convention); internal MOT
-        # frame 2 -> frame_idx 1.
-        assert sw["frame_idx"] == 1 and sw["iou"] == pytest.approx(1.0)
+        # frame_idx carries the 1-based MOT FrameId — exactly what the
+        # reference's committed diagnostics emit (gold frame_idx 4 appears
+        # as "frame_idx": 5 in its missed_detections.jsonl).
+        assert sw["frame_idx"] == 2 and sw["iou"] == pytest.approx(1.0)
         assert events["false_positives"][0]["pred_id"] == 9
-        assert events["missed_detections"][0]["frame_idx"] == 2
+        assert events["missed_detections"][0]["frame_idx"] == 3
 
     def test_export_writes_jsonl_files(self, tmp_path):
         gt, hyp = self._scenario()
