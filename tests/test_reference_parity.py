@@ -122,3 +122,29 @@ class TestConfigDropIn:
         w = cfg.get("floormap.image_width", 1878)
         h = cfg.get("floormap.image_height", 1369)
         assert (np.abs(out) < 4 * max(w, h)).all()
+
+
+class TestEventDiagnosticsParity:
+    def test_missed_detection_row_matches_committed_artifact(self):
+        """Evaluating the reference's gold GT against an empty prediction
+        reproduces its committed missed_detections.jsonl first row
+        field-for-field (1-based FrameId under the frame_idx key)."""
+        from office_person_detection_vit_tpu.benchmark.mot_metrics import (
+            evaluate_mot,
+            load_gold_gt,
+        )
+
+        gt = load_gold_gt(GOLD_GT_JSON)
+        events = {}
+        evaluate_mot(gt, {}, events_out=events)
+        ref_rows = [
+            json.loads(line)
+            for line in (
+                REF / "output/benchmark/diagnostics/missed_detections.jsonl"
+            ).read_text().splitlines()
+        ]
+        ours = events["missed_detections"][0]
+        ref = ref_rows[0]
+        assert ours["frame_idx"] == ref["frame_idx"]
+        assert ours["gt_id"] == ref["gt_id"]
+        assert ours["bbox"] == ref["bbox"]
