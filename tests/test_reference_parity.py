@@ -117,8 +117,16 @@ class TestConfigDropIn:
         cfg = ConfigManager(REF_CONFIG)
         H = np.asarray(cfg.get("homography.matrix"), np.float64)
         pts = np.asarray([[640.0, 600.0], [900.0, 650.0]], np.float32)
-        out = np.asarray(homography_transform(pts, H.astype(np.float32)))
+        out = np.asarray(homography_transform(H.astype(np.float32), pts))
+        assert out.shape == (2, 2)
         assert np.isfinite(out).all()
+        # cv2 cross-check on the real calibrated matrix
+        import cv2
+
+        ref = cv2.perspectiveTransform(
+            pts.reshape(-1, 1, 2).astype(np.float64), H
+        ).reshape(-1, 2)
+        np.testing.assert_allclose(out, ref, atol=1e-2)
         w = cfg.get("floormap.image_width", 1878)
         h = cfg.get("floormap.image_height", 1369)
         assert (np.abs(out) < 4 * max(w, h)).all()
