@@ -197,7 +197,6 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # mesh degrades to 1x1; on a pod slice the batch is sharded over
         # "data" and the model optionally tensor-sharded over "model".
         "mesh": {"data": -1, "model": 1},
-        "donate_input": True,
     },
 }
 

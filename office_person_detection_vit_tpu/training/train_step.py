@@ -18,6 +18,8 @@ import dataclasses
 from functools import partial
 from typing import Any, Callable
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -116,17 +118,30 @@ def _loss_fn(
     return total, metrics
 
 
+def _donate_argnums() -> tuple[int, ...]:
+    """Donate the input TrainState's buffers to the output state so params +
+    optimizer state are not held twice in HBM during the step (~3x param
+    bytes saved at peak). CPU ignores
+    donation with a warning, so only request it on accelerators."""
+    import jax as _jax
+
+    return (0,) if _jax.default_backend() != "cpu" else ()
+
+
 def make_train_step(
     model: DETR,
     tx: optax.GradientTransformation,
     criterion: CriterionConfig | None = None,
     aux_loss: bool = True,
+    donate_state: bool = True,
 ) -> Callable:
     """Jitted (state, batch, rng) -> (state, metrics) on the default device."""
     if criterion is None:
         criterion = CriterionConfig(num_classes=model.config.num_classes)
 
-    @jax.jit
+    @functools.partial(
+        jax.jit, donate_argnums=_donate_argnums() if donate_state else ()
+    )
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         (_, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, model, criterion,
@@ -194,6 +209,7 @@ def make_sharded_train_step(
 
     jitted = jax.jit(
         step_fn,
+        donate_argnums=_donate_argnums(),
         in_shardings=(
             jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s), state_specs,
