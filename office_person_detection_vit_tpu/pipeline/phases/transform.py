@@ -119,10 +119,15 @@ class TransformPhase(BasePhase):
     ) -> Path:
         """coordinate_transformations.json (reference :398-531)."""
         output_dir.mkdir(parents=True, exist_ok=True)
+        # Reference key names + semantics (reference phases/transform.py:406-410):
+        # `enabled` gates everything; `compact_keys` is its OWN flag (enabled
+        # without compact_keys still rounds coordinates under full key names);
+        # full precision when disabled.
         opt = self.config.get("output.json_optimization", {}) or {}
-        compact = bool(opt.get("enabled", False))
-        precision = int(opt.get("precision", 1))
-        exclude_px = bool(opt.get("exclude_floor_px", True))
+        enabled = bool(opt.get("enabled", False))
+        precision = int(opt.get("coordinate_precision", 1)) if enabled else None
+        compact = bool(opt.get("compact_keys", False)) and enabled
+        exclude_px = bool(opt.get("exclude_px_coords", False)) and enabled
 
         frames_out = []
         for fr in frame_results:
@@ -138,11 +143,17 @@ class TransformPhase(BasePhase):
                     }
                 )
             else:
+                dets = []
+                for d in fr.detections:
+                    doc = d.to_dict(precision=precision)
+                    if exclude_px:
+                        doc.pop("floor_coords_px", None)
+                    dets.append(doc)
                 frames_out.append(
                     {
                         "frame_number": fr.frame_number,
                         "timestamp": fr.timestamp_str,
-                        "detections": [d.to_dict() for d in fr.detections],
+                        "detections": dets,
                     }
                 )
         doc = {

@@ -162,3 +162,63 @@ class TestPWAUndistorterRoundtrip:
         t = PiecewiseAffineTransformer(src, dst, undistorter=self._undistorter())
         stats = t.training_error()
         assert stats["rmse"] < 1e-3  # double-undistortion would inflate this
+
+
+class TestJsonOptimizationKeys:
+    """Reference key names + semantics for output.json_optimization
+    (reference phases/transform.py:406-410): `enabled` gates everything,
+    `compact_keys` is independent, disabled means full precision."""
+
+    def _run(self, tmp_path, opt):
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.core.dto import Detection, FrameResult
+        from office_person_detection_vit_tpu.pipeline.phases.transform import (
+            TransformPhase,
+        )
+
+        cfg = ConfigManager.from_dict(
+            {
+                "transform": {"method": "homography"},
+                "homography": {"matrix": [[1, 0, 0], [0, 1, 0], [0, 0, 1]]},
+                "output": {"json_optimization": opt},
+            }
+        )
+        frs = [FrameResult(0, None, [Detection(bbox=(100.123, 200.456, 50.0, 120.0),
+                                               confidence=0.9)])]
+        TransformPhase(cfg).execute(frs, tmp_path)
+        import json as _json
+
+        return _json.loads(
+            (tmp_path / "coordinate_transformations.json").read_text()
+        )
+
+    def test_enabled_rounds_without_compacting(self, tmp_path):
+        doc = self._run(tmp_path, {"enabled": True, "coordinate_precision": 1})
+        det = doc["frames"][0]["detections"][0]
+        assert "bbox" in det  # full key names (compact_keys not set)
+        assert det["bbox"]["x"] == 100.1
+        assert "floor_coords_px" in det  # exclude_px_coords not set
+
+    def test_compact_keys_flag(self, tmp_path):
+        doc = self._run(
+            tmp_path,
+            {"enabled": True, "coordinate_precision": 1, "compact_keys": True,
+             "exclude_px_coords": True},
+        )
+        det = doc["frames"][0]["det"][0]
+        assert "bb" in det and "floor_px" not in det
+
+    def test_disabled_full_precision(self, tmp_path):
+        doc = self._run(tmp_path, {"enabled": False, "coordinate_precision": 0,
+                                   "compact_keys": True})
+        det = doc["frames"][0]["detections"][0]
+        assert det["bbox"]["x"] == pytest.approx(100.123, abs=1e-9)
+
+    def test_exclude_px_in_full_key_form(self, tmp_path):
+        doc = self._run(tmp_path, {"enabled": True, "coordinate_precision": 2,
+                                   "exclude_px_coords": True})
+        det = doc["frames"][0]["detections"][0]
+        assert det["bbox"]["x"] == 100.12
+        assert "floor_coords_px" not in det
