@@ -19,7 +19,19 @@ class OutputService:
     def setup(
         self, config: dict[str, Any], session_id: str | None = None
     ) -> Path:
-        """Create the session and write metadata.json; returns session dir."""
+        """Create the session and write metadata.json; returns session dir.
+        Applies the session retention policy (output.session.archive_days /
+        delete_archive_days) before creating the new session."""
+        session_cfg = ((config.get("output") or {}).get("session") or {}) if isinstance(config, dict) else {}
+        try:
+            self.manager.archive_old_sessions(
+                archive_days=int(session_cfg.get("archive_days", 30)),
+                delete_archive_days=int(session_cfg.get("delete_archive_days", 90)),
+            )
+        except OSError as e:  # retention must never block a run
+            import logging
+
+            logging.getLogger(__name__).warning("session archiving failed: %s", e)
         session_dir = self.manager.create_session(session_id)
         self.manager.save_metadata(config)
         # Persist the RESOLVED config into the session: reproducibility, and

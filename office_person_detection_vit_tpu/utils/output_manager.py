@@ -152,3 +152,46 @@ class OutputManager:
             for p in self.base_dir.iterdir()
             if p.is_dir() and not p.is_symlink() and (p / "metadata.json").exists()
         )
+
+    def archive_old_sessions(
+        self, archive_days: int = 30, delete_archive_days: int = 90
+    ) -> tuple[int, int]:
+        """Retention policy the reference's config declares but never
+        implements (reference config.yaml:261-262 output.session.archive_days
+        / delete_archive_days with no consuming code): sessions older than
+        ``archive_days`` move to ``<base>/archive/``; archived sessions older
+        than ``delete_archive_days`` are deleted. Session age comes from the
+        ``YYYYMMDD_HHMMSS`` directory name; the session the ``latest``
+        symlink points at is never archived. Returns (archived, deleted)."""
+        import shutil
+
+        now = datetime.now()
+        latest_target = None
+        link = self.base_dir / "latest"
+        if link.is_symlink():
+            latest_target = link.resolve().name
+
+        def _age_days(name: str) -> float | None:
+            try:
+                return (now - datetime.strptime(name, "%Y%m%d_%H%M%S")).total_seconds() / 86400
+            except ValueError:
+                return None
+
+        archived = deleted = 0
+        archive_dir = self.base_dir / "archive"
+        for name in self.list_sessions():
+            age = _age_days(name)
+            if age is None or age <= archive_days or name == latest_target:
+                continue
+            archive_dir.mkdir(exist_ok=True)
+            shutil.move(str(self.base_dir / name), str(archive_dir / name))
+            archived += 1
+            logger.info("archived session %s (%.0f days old)", name, age)
+        if archive_dir.is_dir():
+            for p in sorted(archive_dir.iterdir()):
+                age = _age_days(p.name)
+                if p.is_dir() and age is not None and age > delete_archive_days:
+                    shutil.rmtree(p)
+                    deleted += 1
+                    logger.info("deleted archived session %s (%.0f days old)", p.name, age)
+        return archived, deleted

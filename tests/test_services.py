@@ -105,3 +105,72 @@ class TestPerformanceService:
 
                 (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
         assert (tmp_path / "trace").exists()
+
+
+class TestSessionRetention:
+    """Session archiving — declared in the reference's config
+    (output.session.archive_days / delete_archive_days) but never
+    implemented there; here it works."""
+
+    def _fake_session(self, base, name):
+        d = base / name
+        d.mkdir(parents=True)
+        (d / "metadata.json").write_text("{}")
+        return d
+
+    def test_old_sessions_archived(self, tmp_path):
+        from office_person_detection_vit_tpu.utils.output_manager import (
+            OutputManager,
+        )
+
+        om = OutputManager(tmp_path)
+        self._fake_session(tmp_path, "20200101_000000")  # ancient
+        recent = __import__("datetime").datetime.now().strftime("%Y%m%d_%H%M%S")
+        self._fake_session(tmp_path, recent)
+        archived, deleted = om.archive_old_sessions(archive_days=30,
+                                                    delete_archive_days=10_000)
+        assert archived == 1 and deleted == 0
+        assert (tmp_path / "archive" / "20200101_000000").is_dir()
+        assert (tmp_path / recent).is_dir()  # recent untouched
+
+    def test_ancient_archives_deleted(self, tmp_path):
+        from office_person_detection_vit_tpu.utils.output_manager import (
+            OutputManager,
+        )
+
+        om = OutputManager(tmp_path)
+        arch = tmp_path / "archive" / "20190101_000000"
+        arch.mkdir(parents=True)
+        archived, deleted = om.archive_old_sessions(archive_days=30,
+                                                    delete_archive_days=90)
+        assert deleted == 1
+        assert not arch.exists()
+
+    def test_latest_symlink_target_protected(self, tmp_path):
+        from office_person_detection_vit_tpu.utils.output_manager import (
+            OutputManager,
+        )
+
+        om = OutputManager(tmp_path)
+        old = self._fake_session(tmp_path, "20200101_000000")
+        (tmp_path / "latest").symlink_to("20200101_000000")
+        archived, _ = om.archive_old_sessions(archive_days=30)
+        assert archived == 0 and old.is_dir()
+
+    def test_non_session_dirs_ignored(self, tmp_path):
+        from office_person_detection_vit_tpu.utils.output_manager import (
+            OutputManager,
+        )
+
+        om = OutputManager(tmp_path)
+        (tmp_path / "ground_truth").mkdir()
+        archived, deleted = om.archive_old_sessions()
+        assert archived == 0 and deleted == 0
+        assert (tmp_path / "ground_truth").is_dir()
+
+    def test_setup_applies_retention(self, tmp_path):
+        self._fake_session(tmp_path, "20200101_000000")
+        svc = OutputService(base_dir=tmp_path)
+        svc.setup({"output": {"session": {"archive_days": 30,
+                                          "delete_archive_days": 10_000}}})
+        assert (tmp_path / "archive" / "20200101_000000").is_dir()
