@@ -355,6 +355,14 @@ class ConfigManager:
         mw = _num("tracking.motion_weight", typed_elsewhere=False)
         if aw is not None and mw is not None and abs(aw + mw - 1.0) > 1e-6:
             errors.append("tracking.appearance_weight + motion_weight must sum to 1.0")
+        # Calibration section checks (reference config_manager.py:460-472).
+        for flag in ("calibration.use_distortion_correction", "calibration.use_intrinsics"):
+            v = self.get(flag)
+            if v is not None and not isinstance(v, bool):
+                errors.append(f"{flag} must be a boolean")
+        thr = _num("calibration.reprojection_error_threshold", typed_elsewhere=False)
+        if thr is not None and thr <= 0:
+            errors.append("calibration.reprojection_error_threshold must be > 0")
         method = self.get("transform.method")
         if method not in (None, "homography", "piecewise_affine", "thin_plate_spline"):
             errors.append(f"unknown transform.method: {method}")

@@ -44,6 +44,17 @@ class TransformEvaluator:
     def __init__(self, rmse_target: float = RMSE_TARGET_PX):
         self.rmse_target = float(rmse_target)
 
+    @classmethod
+    def from_config(cls, cfg: Any) -> "TransformEvaluator":
+        """Target from ``calibration.reprojection_error_threshold``
+        (reference config default 2.0 px; the docs guide's looser <=10 px is
+        this class's constructor default)."""
+        return cls(
+            rmse_target=float(
+                cfg.get("calibration.reprojection_error_threshold", RMSE_TARGET_PX)
+            )
+        )
+
     def evaluate(
         self,
         transformer: Any,

@@ -174,3 +174,37 @@ class TestStaticHParams:
         out = jax.jit(lambda x: x * hp.batch_size)(jnp.ones(2))
         assert float(out[0]) == hp.batch_size
         assert hash(hp) == hash(StaticHParams.from_config(ConfigManager.from_dict(_valid())))
+
+
+class TestCalibrationValidation:
+    """Calibration-section checks (reference config_manager.py:460-472)."""
+
+    def test_non_boolean_flag_rejected(self):
+        data = _valid()
+        data["calibration"] = {"use_distortion_correction": "yes"}
+        with pytest.raises(ConfigValidationError, match="must be a boolean"):
+            ConfigManager.from_dict(data).validate()
+
+    def test_non_positive_threshold_rejected(self):
+        data = _valid()
+        data["calibration"] = {"reprojection_error_threshold": 0}
+        with pytest.raises(ConfigValidationError, match="must be > 0"):
+            ConfigManager.from_dict(data).validate()
+
+    def test_valid_calibration_passes(self):
+        data = _valid()
+        data["calibration"] = {
+            "use_distortion_correction": False,
+            "reprojection_error_threshold": 2.0,
+        }
+        assert ConfigManager.from_dict(data).validate()
+
+    def test_evaluator_from_config(self):
+        from office_person_detection_vit_tpu.evaluation.transform_evaluator import (
+            TransformEvaluator,
+        )
+
+        cfg = ConfigManager.from_dict(
+            {"calibration": {"reprojection_error_threshold": 2.0}}
+        )
+        assert TransformEvaluator.from_config(cfg).rmse_target == 2.0
