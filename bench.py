@@ -136,6 +136,7 @@ def _compute_ceiling(detector, frames: np.ndarray) -> float:
         detector._build_jits()
         jit_detect = detector._jits["bgr"]
         detector.transfer_format = fmt
+        detector._build_jits()  # restore _jits to match transfer_format
     variables = detector.variables
     orig_wh = jnp.asarray([frames.shape[2], frames.shape[1]], jnp.float32)
 

@@ -288,9 +288,11 @@ def load_gold_gt(path: str | Path) -> FrameAnnotations:
                 bb = (bbox["x"], bbox["y"], bbox["width"], bbox["height"])
             else:
                 bb = tuple(float(v) for v in bbox)
-            tid = ann.get("track_id", ann.get("person_id"))
+            # reference tracking_benchmark.py:327 accepts person_id then id;
+            # keep that fallback chain so upstream gold-GT files load drop-in.
+            tid = ann.get("track_id", ann.get("person_id", ann.get("id")))
             if tid is None:
-                raise KeyError(f"annotation missing track_id/person_id: {ann}")
+                raise KeyError(f"annotation missing track_id/person_id/id: {ann}")
             out[frame].append((int(tid), bb))
     return dict(out)
 

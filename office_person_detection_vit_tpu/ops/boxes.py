@@ -103,7 +103,11 @@ def iou_matrix_xywh_np(a, b):
     area_a = np.maximum(ax1 - ax0, 0.0) * np.maximum(ay1 - ay0, 0.0)
     area_b = np.maximum(bx1 - bx0, 0.0) * np.maximum(by1 - by0, 0.0)
     union = area_a[:, None] + area_b[None, :] - inter
-    return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+    # Guard the divide (not just the select): zero-area pairs would emit a
+    # RuntimeWarning / trip np.seterr before np.where masks them.
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0).astype(
+        np.float32
+    )
 
 
 def generalized_iou_xyxy(a: Array, b: Array) -> Array:

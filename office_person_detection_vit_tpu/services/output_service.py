@@ -23,15 +23,18 @@ class OutputService:
         Applies the session retention policy (output.session.archive_days /
         delete_archive_days) before creating the new session."""
         session_cfg = ((config.get("output") or {}).get("session") or {}) if isinstance(config, dict) else {}
-        try:
-            self.manager.archive_old_sessions(
-                archive_days=int(session_cfg.get("archive_days", 30)),
-                delete_archive_days=int(session_cfg.get("delete_archive_days", 90)),
-            )
-        except OSError as e:  # retention must never block a run
-            import logging
+        # Retention only runs when the user config opts in with an
+        # output.session section — never silently delete with defaults.
+        if session_cfg:
+            try:
+                self.manager.archive_old_sessions(
+                    archive_days=int(session_cfg.get("archive_days", 30)),
+                    delete_archive_days=int(session_cfg.get("delete_archive_days", 90)),
+                )
+            except OSError as e:  # retention must never block a run
+                import logging
 
-            logging.getLogger(__name__).warning("session archiving failed: %s", e)
+                logging.getLogger(__name__).warning("session archiving failed: %s", e)
         session_dir = self.manager.create_session(session_id)
         self.manager.save_metadata(config)
         # Persist the RESOLVED config into the session: reproducibility, and
