@@ -36,6 +36,22 @@ def main(argv: list[str] | None = None) -> int:
         # Re-point the file log into the output dir (reference main.py:53-55).
         setup_logging(debug=args.debug, output_dir=config.get("output.directory", "output"))
 
+        # Multi-host (DCN) bring-up before any jax backend use (SURVEY.md
+        # §5.8): on a pod slice each process calls jax.distributed.initialize
+        # so jax.devices() spans the slice; single-host runs skip this.
+        if config.get("parallel.distributed.enabled", False):
+            from office_person_detection_vit_tpu.parallel.mesh import (
+                initialize_distributed,
+            )
+
+            initialize_distributed(
+                coordinator_address=config.get(
+                    "parallel.distributed.coordinator_address", None
+                ),
+                num_processes=config.get("parallel.distributed.num_processes", None),
+                process_id=config.get("parallel.distributed.process_id", None),
+            )
+
         if args.fine_tune:
             # Detector fine-tuning (reference --fine-tune path, main.py:20-136;
             # training config under training.* keys).

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -68,6 +69,17 @@ class DETRDetector:
         # times both formats on the first real batch and locks in the winner
         # (the link's effective bandwidth per layout varies by deployment).
         self.transfer_format = str(get("detection.transfer_format", "bgr"))
+        # Multi-chip (config schema parallel.mesh.{data,model}): data=-1
+        # shards the frame batch over all visible devices whenever >1 is
+        # present (SURVEY.md §2.9 — DP is the natural analog of the
+        # reference's frame loop, reference
+        # src/pipeline/phases/detection.py:56-133); an explicit int pins the
+        # data-axis size; 1 disables. model > 1 additionally TP-shards the
+        # transformer per parallel/sharding.py rules.
+        self.data_parallel = int(get("parallel.mesh.data", -1))
+        self.model_parallel = int(get("parallel.mesh.model", 1))
+        self.mesh = None
+        self._data_size = 1
         if detr_config is None:
             common = dict(
                 num_queries=int(get("detection.num_queries", 100)),
@@ -125,20 +137,85 @@ class DETRDetector:
             self.model, self.variables = init_detr(
                 self.detr_config, rng, input_hw=(64, 64)
             )
-        self.variables = jax.device_put(self.variables)
+        self._setup_mesh()
+        if self.mesh is not None:
+            from ..parallel.inference import detect_shardings
+
+            var_sh, _, _ = detect_shardings(
+                self.mesh, self.variables, self.model_parallel > 1
+            )
+            self.variables = jax.tree_util.tree_map(
+                jax.device_put, self.variables, var_sh
+            )
+        else:
+            self.variables = jax.device_put(self.variables)
         self._build_jits()
+
+    def _setup_mesh(self) -> None:
+        """Build the (data, model) mesh for the product detect path.
+
+        Degrades to None (plain single-device jit) on one chip; on a
+        multi-device backend the frame batch is DP-sharded so each chip
+        detects its shard — GSPMD inserts any collectives.
+        """
+        from ..parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        mp = max(1, self.model_parallel)
+        dp = self.data_parallel
+        if dp == -1:  # auto: all visible devices
+            dp = max(1, n // mp)
+        total = dp * mp
+        if total <= 1:
+            self.mesh = None
+            self._data_size = 1
+            return
+        if total > n:
+            logger.warning(
+                "parallel config wants %d devices but only %d visible; "
+                "falling back to single-device", total, n,
+            )
+            self.mesh = None
+            self._data_size = 1
+            return
+        self.mesh = make_mesh(total, model_parallel=mp)
+        self._data_size = dp
+        if self.batch_size % dp:
+            aligned = ((self.batch_size + dp - 1) // dp) * dp
+            logger.info(
+                "batch_size %d -> %d (multiple of data axis %d)",
+                self.batch_size, aligned, dp,
+            )
+            self.batch_size = aligned
 
     def _build_jits(self) -> None:
         model = self.model
         person = self.detr_config.person_class_id
         target_hw = self.input_hw
         conf_default = self.confidence_threshold
+        if self.mesh is not None:
+            # DP/TP-sharded program: frames split over the data axis, params
+            # replicated or TP-partitioned. Same jit otherwise — GSPMD turns
+            # the annotations into the collective schedule.
+            from ..parallel.inference import detect_shardings
+
+            var_sh, data_sh, rep_sh = detect_shardings(
+                self.mesh, self.variables, self.model_parallel > 1
+            )
+            jit_kwargs = dict(
+                in_shardings=(var_sh, data_sh, rep_sh, rep_sh),
+                # tuple output (DetectionBatch, encoder_output): every leaf
+                # has a leading frame axis -> shard it over data.
+                out_shardings=(data_sh, data_sh),
+            )
+        else:
+            jit_kwargs = {}
 
         def build(i420: bool):
             # The confidence threshold is a TRACED scalar, not a baked
             # constant: changing detection.confidence_threshold between runs
             # must not recompile (or miss the persistent compilation cache).
-            @jax.jit
+            @partial(jax.jit, **jit_kwargs)
             def _detect(variables, frames_u8, orig_wh, conf):
                 if i420:
                     pixels, mask = preprocess_frames_i420(
@@ -202,9 +279,10 @@ class DETRDetector:
         return winner
 
     def _bucket_sizes(self) -> list[int]:
-        """Power-of-2 program sizes up to batch_size (ascending)."""
+        """Program sizes up to batch_size (ascending): powers of 2 scaled by
+        the data-axis size, so every bucket divides evenly over the mesh."""
         sizes = []
-        b = 1
+        b = self._data_size
         while b < self.batch_size:
             sizes.append(b)
             b *= 2

@@ -189,9 +189,12 @@ class TestBucketedChunking:
         from office_person_detection_vit_tpu.models.detr import DETRConfig
 
         cfg = ConfigManager.from_dict(
+            # mesh.data=1: bucket semantics under test are the single-device
+            # ones (the sharded variant is covered below).
             {"detection": {"confidence_threshold": 0.0, "batch_size": batch_size,
                            "input_height": 96, "input_width": 128,
-                           "dtype": "float32", "use_pallas_attention": False}}
+                           "dtype": "float32", "use_pallas_attention": False},
+             "parallel": {"mesh": {"data": 1}}}
         )
         det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
         det.load_model()
@@ -207,6 +210,27 @@ class TestBucketedChunking:
         det6 = self._detector(6)  # non-power-of-2 batch size
         assert det6._bucket_sizes() == [1, 2, 4, 6]
         assert det6._tail_bucket(5) == 6
+
+    def test_bucket_selection_sharded(self):
+        """On a mesh every bucket is a multiple of the data-axis size so
+        each program divides evenly over the devices."""
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": 6,
+                           "input_height": 96, "input_width": 128,
+                           "dtype": "float32", "use_pallas_attention": False},
+             "parallel": {"mesh": {"data": 4}}}
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+        det.load_model()
+        assert det.mesh is not None
+        assert det.batch_size == 8  # 6 aligned up to a multiple of 4
+        assert det._bucket_sizes() == [4, 8]
+        assert det._tail_bucket(1) == 4
+        assert det._tail_bucket(5) == 8
 
     def test_results_identical_across_bucket_shapes(self):
         import numpy as np

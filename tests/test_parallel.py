@@ -134,3 +134,126 @@ class TestDataParallelMath:
         np.testing.assert_allclose(
             np.asarray(out), x @ np.asarray(w), rtol=1e-5
         )
+
+
+class TestShardedPipelineIdentity:
+    """The product pipeline routes through the DP-sharded detect program when
+    >1 device is visible (parallel.mesh.data=-1) and must emit byte-identical
+    zone_counts.csv and identical coordinate_transformations.json frames to
+    the single-device run."""
+
+    def test_dp_pipeline_artifacts_match_single_device(self, tmp_path_factory):
+        import json
+
+        from office_person_detection_vit_tpu.pipeline.orchestrator import (
+            PipelineOrchestrator,
+        )
+        from tests.helpers.synthetic_video import write_video
+        from tests.test_pipeline_e2e import _config
+
+        video = tmp_path_factory.mktemp("vid") / "synthetic.mp4"
+        write_video(video, num_frames=60)
+
+        def run(parallel_data):
+            tmp = tmp_path_factory.mktemp(f"dp{parallel_data}")
+            cfg = _config(tmp, video, **{"parallel.mesh.data": parallel_data})
+            orch = PipelineOrchestrator(cfg)
+            orch.run()
+            return orch
+
+        o1 = run(1)
+        o8 = run(-1)  # all 8 virtual CPU devices
+        assert o1.detection_phase.detector.mesh is None
+        mesh = o8.detection_phase.detector.mesh
+        assert mesh is not None and mesh.devices.size == 8
+
+        s1, s8 = o1.output.session_dir, o8.output.session_dir
+        z1 = (s1 / "05_aggregation" / "zone_counts.csv").read_bytes()
+        z8 = (s8 / "05_aggregation" / "zone_counts.csv").read_bytes()
+        assert z1 == z8
+        t1 = json.loads(
+            (s1 / "04_transform" / "coordinate_transformations.json").read_text()
+        )
+        t8 = json.loads(
+            (s8 / "04_transform" / "coordinate_transformations.json").read_text()
+        )
+        assert t1["frames"] == t8["frames"]
+
+
+class TestDistributedBringup:
+    """Multi-host (DCN) bring-up plumbing: main.py passes the config's
+    parallel.distributed.* through to jax.distributed.initialize."""
+
+    def test_initialize_distributed_passthrough(self, monkeypatch):
+        import jax.distributed
+
+        from office_person_detection_vit_tpu.parallel.mesh import (
+            initialize_distributed,
+        )
+
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: calls.append(kw),
+        )
+        initialize_distributed(
+            coordinator_address="10.0.0.1:8476", num_processes=4, process_id=2
+        )
+        assert calls == [dict(
+            coordinator_address="10.0.0.1:8476", num_processes=4, process_id=2
+        )]
+
+    def test_initialize_distributed_swallows_single_process_error(
+        self, monkeypatch
+    ):
+        import jax.distributed
+
+        def boom(**kw):
+            raise RuntimeError("jax.distributed.initialize called twice")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        initialize = __import__(
+            "office_person_detection_vit_tpu.parallel.mesh",
+            fromlist=["initialize_distributed"],
+        ).initialize_distributed
+        initialize()  # must not raise
+
+    def test_main_wires_distributed_flag(self, monkeypatch, tmp_path):
+        """main.py calls initialize_distributed with the config values when
+        parallel.distributed.enabled is set."""
+        import sys
+        from pathlib import Path
+
+        import yaml
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import main as cli
+
+        from office_person_detection_vit_tpu.parallel import mesh as mesh_mod
+
+        calls = []
+        monkeypatch.setattr(
+            mesh_mod, "initialize_distributed",
+            lambda **kw: calls.append(kw) or (_ for _ in ()).throw(
+                KeyboardInterrupt()
+            ),
+        )
+        cfg = {
+            "video": {"input_path": str(tmp_path / "none.mp4"), "fps": 30,
+                      "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                      "time_compression_ratio": 313.0},
+            "parallel": {"distributed": {
+                "enabled": True,
+                "coordinator_address": "cohost:1234",
+                "num_processes": 2,
+                "process_id": 0,
+            }},
+            "output": {"directory": str(tmp_path / "out")},
+        }
+        p = tmp_path / "c.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        rc = cli.main(["--config", str(p)])
+        assert rc == 130  # our KeyboardInterrupt sentinel stopped the run
+        assert calls == [dict(
+            coordinator_address="cohost:1234", num_processes=2, process_id=0
+        )]

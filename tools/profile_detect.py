@@ -1,0 +1,247 @@
+"""Per-stage on-chip profile of the DETR detect program + MFU accounting.
+
+Breaks the batch-16 compute ceiling (bench.py `compute_ceiling_fps`) into
+preprocess / backbone / encoder / decoder+heads / postprocess using the same
+scan-chain methodology as the bench: each stage is a jitted program whose
+iterations are data-dependent inside ONE dispatch (`lax.scan`), timed by
+materializing a scalar on host — the only sync the remote tunnel honors
+(CLAUDE.md "TPU timing").
+
+FLOPs come from XLA's own cost model (`compiled.cost_analysis()["flops"]`),
+falling back to an analytic DETR-R50 estimate. MFU = achieved FLOP/s over
+the chip's bf16 peak.
+
+Usage: python tools/profile_detect.py [--batch 16] [--height 736] [--width 1280]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Published bf16 peaks (dense, per chip), TFLOP/s.
+PEAK_BF16_TFLOPS = {
+    "v5e": 197.0,  # aka v5 lite
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6e": 918.0,
+}
+
+
+def detect_peak_tflops() -> tuple[float, str]:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16_TFLOPS.items():
+        if key in kind.replace(" ", "").replace("lite", "e"):
+            return peak, kind
+    if "v5" in kind:  # "TPU v5 lite" etc.
+        return PEAK_BF16_TFLOPS["v5e"], kind
+    return PEAK_BF16_TFLOPS["v5e"], kind  # conservative default
+
+
+def chain_time(fn, *args, iters: int = 8, reps: int = 3, perturb=None):
+    """Best wall time per iteration of `fn` scan-chained inside one jit.
+
+    `fn(*args) -> pytree`; the chain feeds a data-dependent scalar back into
+    args via `perturb(args, carry)` (default: bitwise-xor into the first
+    arg) so XLA cannot parallelize or elide iterations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if perturb is None:
+        def perturb(args, carry):
+            a0 = args[0]
+            eps = carry.astype(a0.dtype) * jnp.asarray(0, a0.dtype)
+            return (a0 + eps, *args[1:]) if jnp.issubdtype(a0.dtype, jnp.floating) \
+                else (a0 ^ carry.astype(a0.dtype), *args[1:])
+
+    @jax.jit
+    def chained(*args):
+        def body(carry, _):
+            out = fn(*perturb(args, carry))
+            s = jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc + jnp.sum(leaf).astype(jnp.float32),
+                out, jnp.float32(0),
+            )
+            return (s * 0).astype(jnp.int32) + 1, s
+
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
+        return sums
+
+    args_d = jax.device_put(args)
+    np.asarray(chained(*args_d))  # compile + upload
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chained(*args_d))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters, chained, args_d
+
+
+def program_flops(jitted, *args) -> float | None:
+    try:
+        compiled = jitted.lower(*args).compile()
+        stats = compiled.cost_analysis()
+        if isinstance(stats, list):
+            stats = stats[0]
+        return float(stats["flops"])
+    except Exception:
+        return None
+
+
+def analytic_detr_flops(B, H, W, cfg) -> float:
+    """2*MACs for DETR-R50 (backbone scaled from 4.09 GFLOPs @224²)."""
+    backbone = 4.09e9 * (H * W) / (224 * 224)
+    L = (H // 32) * (W // 32)
+    d, f = cfg.d_model, cfg.ffn_dim
+    enc = cfg.num_encoder_layers * (8 * L * d * d + 4 * L * L * d + 4 * L * d * f)
+    Q = cfg.num_queries
+    dec = cfg.num_decoder_layers * (
+        8 * Q * d * d + 4 * Q * Q * d          # self-attn
+        + 4 * Q * d * d + 4 * L * d * d + 4 * Q * L * d  # cross-attn
+        + 4 * Q * d * f                         # ffn
+    )
+    proj = 2 * L * 2048 * d
+    return B * (backbone + enc + dec + proj)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--height", type=int, default=736)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--json", action="store_true", help="print one JSON line")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from office_person_detection_vit_tpu.utils.jax_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+    from office_person_detection_vit_tpu.models.postprocess import postprocess_detr
+    from office_person_detection_vit_tpu.models.resnet import ResNet
+    from office_person_detection_vit_tpu.models.transformer import Decoder, Encoder
+    from office_person_detection_vit_tpu.models.position_encoding import (
+        sine_position_embedding,
+    )
+    from office_person_detection_vit_tpu.ops.preprocessing import preprocess_frames
+
+    B, H, W = args.batch, args.height, args.width
+    cfgm = ConfigManager.from_dict(
+        {"detection": {"batch_size": B, "input_height": H, "input_width": W,
+                       "dtype": "bfloat16", "use_pallas_attention": False}}
+    )
+    det = DETRDetector(cfgm)
+    det.load_model()
+    cfg = det.detr_config
+    dtype = cfg.jnp_dtype
+    params = det.variables["params"]
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (B, 720, 1280, 3), np.uint8)
+    pixels = np.asarray(rng.normal(size=(B, H, W, 3)), np.float32).astype(dtype)
+    fh, fw = H // 32, W // 32
+    L = fh * fw
+    feat = np.asarray(rng.normal(size=(B, fh, fw, 2048)), np.float32).astype(dtype)
+    memory = np.asarray(rng.normal(size=(B, L, cfg.d_model)), np.float32).astype(dtype)
+    src = np.asarray(rng.normal(size=(B, L, cfg.d_model)), np.float32).astype(dtype)
+    logits = np.asarray(rng.normal(size=(B, cfg.num_queries, cfg.num_classes + 1)),
+                        np.float32)
+    boxes = np.asarray(rng.uniform(0.2, 0.6, (B, cfg.num_queries, 4)), np.float32)
+
+    backbone = ResNet(depths=cfg.backbone_depths, hidden_sizes=cfg.backbone_hidden,
+                      embedding_size=cfg.backbone_embedding, dtype=dtype)
+    encoder = Encoder(cfg.d_model, cfg.num_heads, cfg.ffn_dim,
+                      cfg.num_encoder_layers, cfg.dropout, dtype,
+                      cfg.use_pallas_attention)
+    decoder = Decoder(cfg.d_model, cfg.num_heads, cfg.ffn_dim,
+                      cfg.num_decoder_layers, cfg.dropout, dtype,
+                      cfg.use_pallas_attention)
+
+    mask2d = np.ones((B, L), bool)
+    posf = np.asarray(
+        sine_position_embedding(jnp.ones((B, fh, fw), bool),
+                                embedding_dim=cfg.d_model // 2)
+    ).reshape(B, L, cfg.d_model).astype(dtype)
+    qpos = np.asarray(rng.normal(size=(B, cfg.num_queries, cfg.d_model)),
+                      np.float32).astype(dtype)
+
+    stages = {}
+
+    def add(name, fn, *inputs, **kw):
+        sec, jitted, args_d = chain_time(fn, *inputs, iters=args.iters, **kw)
+        fl = program_flops(jitted, *args_d)
+        stages[name] = {"ms": 1e3 * sec,
+                        "flops": (fl / args.iters if fl else None)}
+
+    orig_wh = np.asarray([1280.0, 720.0], np.float32)
+    add("preprocess", lambda f: preprocess_frames(f, target_hw=(H, W),
+                                                  out_dtype=dtype)[0], frames)
+    add("backbone",
+        lambda x: backbone.apply({"params": params["backbone"]}, x), pixels)
+    add("input_proj+encoder",
+        lambda f, pos, m: encoder.apply(
+            {"params": params["encoder"]},
+            f, pos, m, True),
+        src, posf, mask2d)
+    add("decoder+heads",
+        lambda mem, pos, qp, m: decoder.apply(
+            {"params": params["decoder"]},
+            jnp.zeros_like(qp), qp, mem, pos, m, True),
+        memory, posf, qpos, mask2d)
+    add("postprocess",
+        lambda lg, bx: postprocess_detr(lg, bx, jnp.asarray(orig_wh), 0.5,
+                                        person_class_id=cfg.person_class_id),
+        logits, boxes)
+
+    # Full fused program for the total + MFU.
+    jit_detect = det._jits["bgr"]
+
+    def full(f):
+        out = jit_detect(det.variables, f, orig_wh, 0.5)
+        return out[0].scores
+    sec_full, jitted_full, args_full = chain_time(full, frames, iters=args.iters)
+    fl_full = program_flops(jitted_full, *args_full)
+    fl_full = (fl_full / args.iters) if fl_full else analytic_detr_flops(B, H, W, cfg)
+
+    peak, kind = detect_peak_tflops()
+    achieved = fl_full / sec_full
+    report = {
+        "device": kind,
+        "batch": B, "input_hw": [H, W],
+        "stages_ms": {k: round(v["ms"], 2) for k, v in stages.items()},
+        "stage_sum_ms": round(sum(v["ms"] for v in stages.values()), 2),
+        "full_ms": round(1e3 * sec_full, 2),
+        "fps": round(B / sec_full, 1),
+        "flops_per_batch": fl_full,
+        "gflops_per_frame": round(fl_full / B / 1e9, 1),
+        "achieved_tflops": round(achieved / 1e12, 1),
+        "peak_bf16_tflops": peak,
+        "mfu_pct": round(100 * achieved / (peak * 1e12), 1),
+    }
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
