@@ -106,6 +106,117 @@ def test_full_model_parity():
 
 
 @pytest.mark.slow
+def test_full_size_detr_parity():
+    """Layer-for-layer parity at the spec'd FULL size: ResNet-50 (3,4,6,3),
+    6+6 transformer, d_model 256, 100 queries, num_labels 91
+    (reference .kiro/specs/office-person-detection/design.md:235-268).
+
+    Random weights (zero-egress env) — this still exercises every conversion
+    convention at the production tensor shapes, which the tiny-config test
+    cannot (e.g. all four backbone stage widths, 8-head d=256 attention)."""
+    import jax.numpy as jnp
+    from transformers import DetrConfig as HFDetrConfig
+    from transformers import DetrForObjectDetection, ResNetConfig
+
+    depths = (3, 4, 6, 3)
+    hidden = (256, 512, 1024, 2048)
+    rc = ResNetConfig(
+        depths=list(depths),
+        hidden_sizes=list(hidden),
+        embedding_size=64,
+        layer_type="bottleneck",
+        out_features=["stage4"],
+    )
+    hf_cfg = HFDetrConfig(
+        use_timm_backbone=False,
+        backbone_config=rc,
+        use_pretrained_backbone=False,
+        num_labels=91,
+        dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = DetrForObjectDetection(hf_cfg).eval()
+    with torch.no_grad():
+        for mod in hf_model.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    cfg = DETRConfig(num_classes=91, dropout=0.0)  # full-size defaults
+    flax_model = DETR(cfg)
+    variables = convert_torch_state_dict(
+        hf_model.state_dict(), num_encoder_layers=6, num_decoder_layers=6
+    )
+
+    rng = np.random.default_rng(0)
+    H, W = 224, 320
+    img = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+    mask = np.ones((1, H, W), bool)
+
+    with torch.no_grad():
+        t_out = hf_model(
+            pixel_values=torch.from_numpy(img).permute(0, 3, 1, 2),
+            pixel_mask=torch.from_numpy(mask.astype(np.int64)),
+        )
+    j_out = flax_model.apply(
+        variables, jnp.asarray(img), jnp.asarray(mask), deterministic=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(j_out["logits"]), t_out.logits.numpy(), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_out["boxes"]), t_out.pred_boxes.numpy(), atol=1e-3
+    )
+
+    # Cross-check our fixed-shape postprocess against HF's
+    # post_process_object_detection at full scale: same surviving person
+    # detections (xyxy within 0.1 px), same scores.
+    from transformers.models.detr.image_processing_detr import (
+        DetrImageProcessor,
+    )
+
+    from office_person_detection_vit_tpu.models.postprocess import (
+        postprocess_detr,
+    )
+
+    orig_w, orig_h = 1280.0, 720.0
+    thresh = 0.05
+    batch = postprocess_detr(
+        j_out["logits"], j_out["boxes"],
+        jnp.asarray([orig_w, orig_h], jnp.float32),
+        thresh, person_class_id=1,
+    )
+    proc = DetrImageProcessor()
+    hf_res = proc.post_process_object_detection(
+        t_out, threshold=thresh,
+        target_sizes=torch.tensor([[orig_h, orig_w]]),
+    )[0]
+    keep = hf_res["labels"].numpy() == 1
+    hf_boxes = hf_res["boxes"].numpy()[keep]
+    hf_scores = hf_res["scores"].numpy()[keep]
+
+    valid = np.asarray(batch.valid[0])
+    ours_xywh = np.asarray(batch.boxes_xywh[0])[valid]
+    ours_xyxy = np.concatenate(
+        [ours_xywh[:, :2], ours_xywh[:, :2] + ours_xywh[:, 2:]], axis=1
+    )
+    ours_scores = np.asarray(batch.scores[0])[valid]
+
+    assert len(ours_scores) == len(hf_scores)
+    order_o = np.argsort(-ours_scores)
+    order_h = np.argsort(-hf_scores)
+    np.testing.assert_allclose(
+        ours_scores[order_o], hf_scores[order_h], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        ours_xyxy[order_o], hf_boxes[order_h], atol=0.1
+    )
+
+
+@pytest.mark.slow
 def test_parity_with_pallas_interpret():
     """Same outputs when attention runs through the Pallas kernel (interpret on CPU)."""
     import dataclasses
