@@ -56,7 +56,7 @@ class ReIDFeatureExtractor:
             logger.info("ReID backend: DETR encoder ROI features (%d-d)", self.feature_dim)
             return
         if self.model_type == "clip":
-            try:  # pragma: no cover - requires local CLIP weights
+            try:
                 from transformers import FlaxCLIPModel
 
                 source = self.model_path or self.model_name
@@ -104,13 +104,13 @@ class ReIDFeatureExtractor:
                             frame, np.asarray([bboxes[i]], np.float32), dim=self.feature_dim
                         )[0]
                 return out
-        if self.backend == "clip":  # pragma: no cover - needs local weights
+        if self.backend == "clip":
             return self._extract_clip(frame, bboxes)
         return crop_histogram_features(
             frame, np.asarray(bboxes, np.float32), dim=self.feature_dim
         )
 
-    def _extract_clip(self, frame: np.ndarray, bboxes) -> np.ndarray:  # pragma: no cover
+    def _extract_clip(self, frame: np.ndarray, bboxes) -> np.ndarray:
         """Crop -> 224x224 -> CLIP-normalize -> image tower -> L2 norm
         (reference reid_feature_extractor.py:51-172 CLIP path)."""
         import cv2

@@ -207,6 +207,18 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps({"epoch": epoch})
         )
 
+    history_path = args.checkpoint / "history.json"
+    history: dict = {"step_losses": [], "epoch_losses": [], "config": {
+        "batch": args.batch, "lr": args.lr, "devices": n_dev,
+        "data_parallel": int(max(data_parallel, 1)),
+        "model_parallel": args.model_parallel, "tiny": args.tiny,
+    }}
+    if args.resume_from and history_path.exists():
+        prev = json.loads(history_path.read_text())
+        history["step_losses"] = prev.get("step_losses", [])
+        history["epoch_losses"] = prev.get("epoch_losses", [])
+        history["resumed_at_step"] = len(history["step_losses"])
+
     steps_per_epoch = max(1, len(samples) // args.batch)
     for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(samples))
@@ -227,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
             float(np.mean(losses)) if losses else float("nan"),
             time.perf_counter() - t0,
         )
+        history["step_losses"].extend(losses)
+        history["epoch_losses"].append(
+            float(np.mean(losses)) if losses else None
+        )
+        args.checkpoint.mkdir(parents=True, exist_ok=True)
+        history_path.write_text(json.dumps(history))
         if (epoch + 1) % args.save_every == 0:
             save_state(epoch + 1)
 
