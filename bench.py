@@ -98,6 +98,18 @@ def main() -> None:
     # record what the chip itself sustains when fed.
     compute_fps = _compute_ceiling(detector, frames)
 
+    # MFU accounting (FLOPs = 2*MACs; ~178.5 GFLOPs/frame @736x1280,
+    # cross-checked against XLA cost_analysis — tools/profile_detect.py).
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent / "tools"))
+    from profile_detect import analytic_detr_flops, detect_peak_tflops
+
+    flops_frame = analytic_detr_flops(1, *detector.input_hw, detector.detr_config)
+    peak_tflops, device_kind = detect_peak_tflops()
+    mfu = compute_fps * flops_frame / (peak_tflops * 1e12)
+
     print(
         json.dumps(
             {
@@ -107,10 +119,14 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "compute_ceiling_fps": round(compute_fps, 1),
                 "compute_ceiling_vs_baseline": round(compute_fps / BASELINE_FPS, 1),
+                "gflops_per_frame": round(flops_frame / 1e9, 1),
+                "mfu_pct": round(100 * mfu, 1),
+                "device": device_kind,
                 "note": "value = sustained end-to-end incl. host<->device transfer "
                         "over a shared remote tunnel (link-state dependent; 46 f/s "
                         "recorded on a quiet link); compute_ceiling_fps = scan-chained "
-                        "on-chip rate, what a locally-attached host sustains",
+                        "on-chip rate, what a locally-attached host sustains; mfu_pct "
+                        "= ceiling FLOP/s over bf16 peak (2*MAC convention)",
             }
         )
     )

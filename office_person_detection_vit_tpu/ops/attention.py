@@ -62,13 +62,15 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
 
     Blocks: q_ref (1, Lq, D), k_ref/v_ref (1, Lk, D), mask_ref (1, 1, Lk)
     float (1.0 valid / 0.0 pad), o_ref (1, Lq, D).
+
+    The MXU dots take the inputs in their native dtype (bf16 in production)
+    with f32 accumulation via preferred_element_type — casting operands to
+    f32 first would run the MXU at a fraction of bf16 throughput, which is
+    exactly how the round-1 kernel lost to XLA. Softmax stays f32.
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     scores = jax.lax.dot_general(
-        q,
-        k,
+        q_ref[0],
+        k_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -78,8 +80,8 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / s
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    probs = (e / s).astype(v_ref.dtype)
+    out = jnp.dot(probs, v_ref[0], preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -173,13 +175,10 @@ def _flash_attn_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q_ref[0], k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
+    ) * scale  # (BQ, BK) — bf16 MXU inputs, f32 accumulation
     valid = mask_ref[0, 0, :] > 0.5
     s = jnp.where(valid[None, :], s, NEG_INF)
 
@@ -193,7 +192,7 @@ def _flash_attn_kernel(
     p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)  # (BQ, BK)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     )
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -88,6 +88,12 @@ def chain_time(fn, *args, iters: int = 8, reps: int = 3, perturb=None):
 
 
 def program_flops(jitted, *args) -> float | None:
+    """XLA cost-model FLOPs for a compiled program.
+
+    NOTE: for a program whose body sits inside lax.scan, XLA counts the
+    loop body ONCE (verified: the chained full-detect program reports
+    1/iters of the analytic total) — so callers must pass the *single-call*
+    program, not the chained one."""
     try:
         compiled = jitted.lower(*args).compile()
         stats = compiled.cost_analysis()
@@ -99,8 +105,11 @@ def program_flops(jitted, *args) -> float | None:
 
 
 def analytic_detr_flops(B, H, W, cfg) -> float:
-    """2*MACs for DETR-R50 (backbone scaled from 4.09 GFLOPs @224²)."""
-    backbone = 4.09e9 * (H * W) / (224 * 224)
+    """FLOPs = 2*MACs throughout (backbone scaled from ResNet-50's
+    4.09 GMACs @224²; the transformer terms below already carry the 2x).
+    Cross-check: XLA cost_analysis reports 177.7 GFLOPs/frame @736x1280,
+    this returns ~178.5."""
+    backbone = 2 * 4.09e9 * (H * W) / (224 * 224)
     L = (H // 32) * (W // 32)
     d, f = cfg.d_model, cfg.ffn_dim
     enc = cfg.num_encoder_layers * (8 * L * d * d + 4 * L * L * d + 4 * L * d * f)
@@ -185,10 +194,9 @@ def main(argv=None) -> int:
     stages = {}
 
     def add(name, fn, *inputs, **kw):
-        sec, jitted, args_d = chain_time(fn, *inputs, iters=args.iters, **kw)
-        fl = program_flops(jitted, *args_d)
-        stages[name] = {"ms": 1e3 * sec,
-                        "flops": (fl / args.iters if fl else None)}
+        sec, _, args_d = chain_time(fn, *inputs, iters=args.iters, **kw)
+        fl = program_flops(jax.jit(fn), *args_d)  # single call, not chained
+        stages[name] = {"ms": 1e3 * sec, "flops": fl}
 
     orig_wh = np.asarray([1280.0, 720.0], np.float32)
     add("preprocess", lambda f: preprocess_frames(f, target_hw=(H, W),
@@ -216,9 +224,9 @@ def main(argv=None) -> int:
     def full(f):
         out = jit_detect(det.variables, f, orig_wh, 0.5)
         return out[0].scores
-    sec_full, jitted_full, args_full = chain_time(full, frames, iters=args.iters)
-    fl_full = program_flops(jitted_full, *args_full)
-    fl_full = (fl_full / args.iters) if fl_full else analytic_detr_flops(B, H, W, cfg)
+    sec_full, _, args_full = chain_time(full, frames, iters=args.iters)
+    fl_full = program_flops(jax.jit(full), *args_full)
+    fl_full = fl_full or analytic_detr_flops(B, H, W, cfg)
 
     peak, kind = detect_peak_tflops()
     achieved = fl_full / sec_full
