@@ -302,3 +302,37 @@ def test_transforms_to_gold_roundtrip(tmp_path):
     rows = [line.split(",") for line in mot.read_text().splitlines()]
     assert rows[0][0] == "1" and rows[0][1] == "1"  # 1-indexed frame, id
     assert rows[1][0] == "2"
+
+
+class TestPerfTools:
+    """CPU-checkable pieces of the TPU perf tools."""
+
+    def test_analytic_flops_matches_xla_cost_model_convention(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from profile_detect import analytic_detr_flops, detect_peak_tflops
+
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        f = analytic_detr_flops(1, 736, 1280, DETRConfig())
+        # XLA cost_analysis reports 177.7 GFLOPs/frame for the full fused
+        # program at this geometry (2*MAC convention).
+        assert 1.7e11 < f < 1.9e11
+        # batch scales linearly
+        assert analytic_detr_flops(16, 736, 1280, DETRConfig()) == 16 * f
+        peak, kind = detect_peak_tflops()
+        assert peak > 0 and isinstance(kind, str)
+
+    def test_attn_bench_shapes_cover_production_sites(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from attn_kernel_bench import SHAPES
+
+        names = {n for n, _ in SHAPES}
+        assert {"enc-self-B16", "dec-cross-B16", "dec-self-B16"} <= names
+        for _, (B, H, Lq, Lk, D) in SHAPES:
+            assert D == 32 and H == 8  # DETR head geometry
