@@ -26,7 +26,13 @@ import numpy as np
 from ..core.dto import Detection, DetectionBatch
 from ..models.detr import DETR, DETRConfig, init_detr
 from ..models.postprocess import postprocess_detr
-from ..ops.preprocessing import bgr_to_i420, preprocess_frames, preprocess_frames_i420
+from ..ops.preprocessing import (
+    bgr_to_i420,
+    i420_delta_encode,
+    preprocess_frames,
+    preprocess_frames_i420,
+    reconstruct_i420_delta,
+)
 from .features import crop_histogram_features, roi_mean_pool
 
 logger = logging.getLogger(__name__)
@@ -64,10 +70,14 @@ class DETRDetector:
         self.device_pref = str(get("detection.device", "auto"))
         # "i420" ships 1.5 bytes/px instead of 3 over the host->device link
         # (the video source is 4:2:0 anyway, so no extra information loss);
-        # the YUV->RGB matrix is fused on-device. Worth enabling when the
-        # link is bandwidth-bound; "bgr" skips the host cvtColor; "auto"
-        # times both formats on the first real batch and locks in the winner
-        # (the link's effective bandwidth per layout varies by deployment).
+        # the YUV->RGB matrix is fused on-device. "i420d" additionally XOR
+        # delta-encodes consecutive frames (ops/preprocessing.py
+        # i420_delta_encode): timelapse/dense-tracking frames are mostly
+        # static, so the deltas are near-zero and the tunnel's wire
+        # compression collapses them — reconstruction on device is an exact
+        # XOR scan (byte-identical pixels). "bgr" skips the host cvtColor;
+        # "auto" races the formats on the first real batch and locks in the
+        # winner (effective bandwidth per layout is deployment-specific).
         self.transfer_format = str(get("detection.transfer_format", "bgr"))
         # Multi-chip (config schema parallel.mesh.{data,model}): data=-1
         # shards the frame batch over all visible devices whenever >1 is
@@ -102,6 +112,8 @@ class DETRDetector:
         self._last_encoder_chunks: list = []
         self._last_encoder_output = None
         self._last_frame_count = 0
+        self._delta_prev_host: np.ndarray | None = None  # i420d chunk chain
+        self._delta_prev_dev = None
 
     # ------------------------------------------------------------------ load
     def load_model(self) -> None:
@@ -211,7 +223,10 @@ class DETRDetector:
         else:
             jit_kwargs = {}
 
-        def build(i420: bool):
+        def build(mode: str):
+            i420 = mode.startswith("i420")
+            delta = mode == "i420d"
+
             # The confidence threshold is a TRACED scalar, not a baked
             # constant: changing detection.confidence_threshold between runs
             # must not recompile (or miss the persistent compilation cache).
@@ -233,21 +248,62 @@ class DETRDetector:
                 )
                 return batch, out["encoder_output"]
 
+            @jax.jit
+            def _detect_delta(variables, deltas_u8, prev_u8, orig_wh, conf):
+                frames_u8 = reconstruct_i420_delta(deltas_u8, prev_u8)
+                pixels, mask = preprocess_frames_i420(
+                    frames_u8, target_hw=target_hw,
+                    out_dtype=model.config.jnp_dtype,
+                )
+                out = model.apply(variables, pixels, mask, deterministic=True)
+                batch = postprocess_detr(
+                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
+                )
+                # The reconstructed last frame stays DEVICE-resident and
+                # seeds the next chunk's XOR scan — no wire cost.
+                return batch, out["encoder_output"], frames_u8[-1]
+
             def _detect_with_conf(variables, frames_u8, orig_wh, conf=None):
                 # np scalar, not jnp: its transfer rides the jit call instead
                 # of being a separate eager dispatch.
                 c = np.float32(conf_default if conf is None else conf)
-                return _detect(variables, frames_u8, orig_wh, c)
+                if not delta:
+                    return _detect(variables, frames_u8, orig_wh, c)
+                payload = np.asarray(frames_u8)
+                if (
+                    self._delta_prev_host is None
+                    or self._delta_prev_host.shape != payload.shape[1:]
+                ):
+                    # First chunk (or input geometry changed): zero seed.
+                    # The zeros upload rides the call and compresses away.
+                    self._delta_prev_host = np.zeros(payload.shape[1:], np.uint8)
+                    self._delta_prev_dev = self._delta_prev_host
+                deltas = i420_delta_encode(payload, self._delta_prev_host)
+                batch, enc, last = _detect_delta(
+                    variables, deltas, self._delta_prev_dev, orig_wh, c
+                )
+                self._delta_prev_host = payload[-1].copy()
+                self._delta_prev_dev = last
+                return batch, enc
 
             return _detect_with_conf
 
         # One jitted program per transfer format actually in use; "auto"
-        # needs both so the first detect_batch can race them.
-        formats = (
-            ("bgr", "i420") if self.transfer_format == "auto"
-            else (self.transfer_format,)
-        )
-        self._jits = {fmt: build(fmt == "i420") for fmt in formats}
+        # races them on the first real batch. The delta format's XOR scan
+        # runs along the frame axis, so it stays single-device (a DP mesh
+        # would turn the scan into cross-chip traffic for no wire benefit —
+        # multi-chip deployments are locally attached anyway).
+        if self.transfer_format == "auto":
+            formats = ("bgr", "i420") + (("i420d",) if self.mesh is None else ())
+        else:
+            formats = (self.transfer_format,)
+        if self.mesh is not None and "i420d" in formats:
+            logger.warning("i420d transfer is single-device; using i420")
+            formats = ("i420",)
+            self.transfer_format = "i420"
+        self._delta_prev_host = None
+        self._delta_prev_dev = None
+        self._jits = {fmt: build(fmt) for fmt in formats}
         self._jit_detect = self._jits[formats[0]]
 
     def _autotune_transfer(self, frames: np.ndarray) -> str:
@@ -261,6 +317,10 @@ class DETRDetector:
         _, H, W, _ = sample.shape
         orig_wh = np.asarray([W, H], np.float32)
         payloads = {"bgr": sample, "i420": bgr_to_i420(sample)}
+        if "i420d" in self._jits:
+            # Same i420 payload; the wrapper delta-encodes against its own
+            # chunk-chained state, so consecutive timed calls are realistic.
+            payloads["i420d"] = payloads["i420"]
         best = {fmt: float("inf") for fmt in payloads}
         for fmt, payload in payloads.items():  # compile/warm both
             out, _ = self._jits[fmt](self.variables, payload, orig_wh)
@@ -311,7 +371,7 @@ class DETRDetector:
         pad = (self._tail_bucket(tail) - tail) if tail else 0
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, H, W, 3), np.uint8)])
-        if self.transfer_format in ("i420", "auto") and (H % 4 or W % 2):
+        if self.transfer_format in ("i420", "i420d", "auto") and (H % 4 or W % 2):
             logger.warning(
                 "i420 transfer unsupported for %dx%d (H%%4/W%%2); using bgr",
                 H, W,
@@ -321,7 +381,7 @@ class DETRDetector:
         if self.transfer_format == "auto":
             self.transfer_format = self._autotune_transfer(frames)
             self._jit_detect = self._jits[self.transfer_format]
-        if self.transfer_format == "i420":
+        if self.transfer_format in ("i420", "i420d"):
             frames = bgr_to_i420(frames)  # (F, H*3/2, W): half the bytes
         # Dispatch hygiene: over a remote-device link every EAGER op
         # (jnp.asarray of a scalar, concatenate, slice) is its own ~10-100 ms

@@ -138,3 +138,36 @@ def preprocess_frames_i420(
     x = jnp.pad(x, [(0, 0), (0, th - rh), (0, tw - rw), (0, 0)])
     mask = jnp.zeros((F, th, tw), bool).at[:, :rh, :rw].set(True)
     return x.astype(out_dtype), mask
+
+
+def i420_delta_encode(i420_frames, prev_last):
+    """Host-side XOR delta encoding for the compressing tunnel.
+
+    Timelapse/dense-tracking frames are mostly static, so
+    ``frame[i] ^ frame[i-1]`` is near-zero almost everywhere and the
+    tunnel's wire compression collapses it — the same bytes that cost
+    ~1.4 MB/frame as raw i420 ship as a few KB of deltas. Exactly
+    reversible on device (:func:`reconstruct_i420_delta`), so the decoded
+    pixels are byte-identical to the i420 path.
+
+    i420_frames: (F, H*3//2, W) uint8; prev_last: (H*3//2, W) uint8 — the
+    last frame of the previous chunk (zeros for the first chunk).
+    Returns deltas of the same shape as ``i420_frames``.
+    """
+    import numpy as np
+
+    deltas = i420_frames.copy()
+    deltas[1:] ^= i420_frames[:-1]
+    deltas[0] ^= np.asarray(prev_last, np.uint8)
+    return deltas
+
+
+def reconstruct_i420_delta(deltas: Array, prev_last: Array) -> Array:
+    """Device-side inverse of :func:`i420_delta_encode`.
+
+    XOR is associative, so the inclusive XOR-scan over the frame axis
+    telescopes ``delta[0..i]`` back to ``frame[i] ^ prev_last``; one more
+    XOR with ``prev_last`` recovers the frames exactly.
+    """
+    frames = jax.lax.associative_scan(jnp.bitwise_xor, deltas, axis=0)
+    return frames ^ prev_last[None]

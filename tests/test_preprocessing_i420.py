@@ -141,3 +141,81 @@ def test_detector_auto_falls_back_to_bgr_for_odd_shapes():
     out = det.detect_batch(frames)
     assert det.transfer_format == "bgr"
     assert out.scores.shape[0] == 2
+
+
+class TestI420DeltaTransfer:
+    """i420d = XOR delta over the frame axis for the compressing tunnel;
+    reconstruction is exact, so detection results are byte-identical to
+    the plain i420 path, including across chained chunks."""
+
+    def test_delta_codec_round_trip(self):
+        from office_person_detection_vit_tpu.ops.preprocessing import (
+            i420_delta_encode,
+            reconstruct_i420_delta,
+        )
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (5, 108, 128), np.uint8)
+        prev = rng.integers(0, 255, (108, 128), np.uint8)
+        deltas = i420_delta_encode(frames, prev)
+        out = np.asarray(reconstruct_i420_delta(deltas, jnp.asarray(prev)))
+        np.testing.assert_array_equal(out, frames)
+        # Static content -> all-zero deltas (what the wire compresses away).
+        static = np.repeat(frames[:1], 4, axis=0)
+        d2 = i420_delta_encode(static, static[0])
+        assert (d2 == 0).all()
+
+    def test_i420d_detection_matches_i420_across_chunks(self):
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        def make(fmt):
+            cfg = ConfigManager.from_dict(
+                {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                               "input_height": 96, "input_width": 128,
+                               "dtype": "float32", "use_pallas_attention": False,
+                               "transfer_format": fmt},
+                 "parallel": {"mesh": {"data": 1}}}
+            )
+            det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=3))
+            det.load_model()
+            return det
+
+        rng = np.random.default_rng(0)
+        # 5 frames -> chunks of 2 + tail: exercises the chunk-chained state.
+        frames = rng.integers(0, 255, (5, 72, 96, 3), np.uint8)
+        b_i420 = make("i420").detect_batch(frames)
+        b_delta = make("i420d").detect_batch(frames)
+        # The decoded PIXELS are bit-exact (test_delta_codec_round_trip);
+        # outputs differ only by cross-program float-fusion noise (~1e-5),
+        # because XLA fuses the XOR-scan program differently.
+        np.testing.assert_array_equal(
+            np.asarray(b_i420.valid), np.asarray(b_delta.valid)
+        )
+        for name, atol in (("boxes_xywh", 1e-3), ("scores", 1e-5), ("foot", 1e-3)):
+            np.testing.assert_allclose(
+                np.asarray(getattr(b_i420, name)),
+                np.asarray(getattr(b_delta, name)),
+                atol=atol, err_msg=name,
+            )
+
+    def test_i420d_falls_back_on_mesh(self):
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": 8,
+                           "input_height": 96, "input_width": 128,
+                           "dtype": "float32", "use_pallas_attention": False,
+                           "transfer_format": "i420d"}}
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=3))
+        det.load_model()  # 8-device test mesh -> delta disabled
+        assert det.mesh is not None
+        assert det.transfer_format == "i420"
