@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -52,6 +53,11 @@ class SSDDetector:
             else:
                 ss_config = SingleShotConfig(**common)
         self.ss_config = ss_config
+        # Same DP mesh contract as DETRDetector (parallel.mesh.data = -1
+        # shards the frame batch over all visible devices; 1 disables).
+        self.data_parallel = int(get("parallel.mesh.data", -1))
+        self.mesh = None
+        self._data_size = 1
         self.model: SingleShotDetector | None = None
         self.variables = None
         self._jit_detect = None
@@ -74,15 +80,45 @@ class SSDDetector:
             self.model, self.variables = init_single_shot(
                 self.ss_config, rng, input_hw=(64, 64)
             )
+        self._setup_mesh()
         self.variables = jax.device_put(self.variables)
         self._build_jits()
+
+    def _setup_mesh(self) -> None:
+        from ..parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        dp = self.data_parallel if self.data_parallel != -1 else n
+        if dp <= 1 or dp > n:
+            self.mesh = None
+            self._data_size = 1
+            return
+        self.mesh = make_mesh(dp)
+        self._data_size = dp
+        if self.batch_size % dp:
+            self.batch_size = ((self.batch_size + dp - 1) // dp) * dp
 
     def _build_jits(self) -> None:
         model = self.model
         target_hw = self.input_hw
         cfg = self.ss_config
 
-        @jax.jit
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            rep = NamedSharding(self.mesh, P())
+            data_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            var_sh = jax.tree_util.tree_map(lambda _: rep, self.variables)
+            jit_kwargs = dict(
+                in_shardings=(var_sh, data_sh, rep, rep),
+                out_shardings=(data_sh, data_sh),
+            )
+        else:
+            jit_kwargs = {}
+
+        @partial(jax.jit, **jit_kwargs)
         def _detect(variables, frames_u8, orig_wh, conf):
             pixels, _mask = preprocess_frames(
                 frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
