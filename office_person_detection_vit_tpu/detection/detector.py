@@ -96,14 +96,33 @@ class DETRDetector:
                 dtype=str(get("detection.dtype", "bfloat16")),
                 use_pallas_attention=bool(get("detection.use_pallas_attention", False)),
             )
+            # detection.backbone: "resnet50" (default) or "vit" — the
+            # spec'd ViT-era backbone, with the spec's patch_size key
+            # (reference config.yaml.disabled:32-44).
+            if str(get("detection.backbone", "resnet50")) == "vit":
+                common.update(
+                    backbone="vit",
+                    vit_patch_size=int(get("detection.patch_size", 16)),
+                )
             # model_size=tiny gives a small random-init model for tests and
             # multi-chip dry runs; "full" is the DETR-ResNet50 architecture.
             if str(get("detection.model_size", "full")) == "tiny":
                 common.pop("num_queries")
+                if common.get("backbone") == "vit":
+                    common.update(
+                        vit_patch_size=int(get("detection.patch_size", 8)),
+                        vit_hidden=64, vit_layers=2, vit_heads=4,
+                        vit_mlp=128, vit_pos_grid=4,
+                    )
                 detr_config = DETRConfig.tiny(**common)
             else:
                 detr_config = DETRConfig(**common)
         self.detr_config = detr_config
+        #: pixels per feature-grid cell (ROI pooling / attention maps)
+        self.feature_stride = (
+            self.detr_config.vit_patch_size
+            if self.detr_config.backbone == "vit" else 32
+        )
         self.model: DETR | None = None
         self.variables = None
         self._jit_detect = None
@@ -431,8 +450,8 @@ class DETRDetector:
         return dets, feat_np
 
     def _pool_features(self, batch: DetectionBatch) -> jax.Array:
-        fh = self.input_hw[0] // 32
-        fw = self.input_hw[1] // 32
+        fh = self.input_hw[0] // self.feature_stride
+        fw = self.input_hw[1] // self.feature_stride
         W, H = self._last_orig_wh
         if self._last_encoder_output is None:
             encs = self._last_encoder_chunks
@@ -487,8 +506,8 @@ class DETRDetector:
         last = f"layer_{cfg.num_decoder_layers - 1}"
         probs = inter["decoder"][last]["encoder_attn"]["attn_weights"][0]
         # (B, H, Q, L) -> mean over heads and queries -> (fh, fw)
-        fh = self.input_hw[0] // 32
-        fw = self.input_hw[1] // 32
+        fh = self.input_hw[0] // self.feature_stride
+        fw = self.input_hw[1] // self.feature_stride
         amap = np.asarray(jnp.mean(probs[0], axis=(0, 1)).reshape(fh, fw), np.float32)
         return amap
 

@@ -35,9 +35,19 @@ class DETRConfig:
     ffn_dim: int = 2048
     num_classes: int = 91  # COCO labels; +1 no-object is implicit in the head
     dropout: float = 0.1
+    #: "resnet50" (the HF facebook/detr-resnet-50 backbone) or "vit" (the
+    #: spec'd ViT-era backbone, reference config.yaml.disabled:32-44 —
+    #: models/vit.py; feature stride = vit_patch_size instead of 32).
+    backbone: str = "resnet50"
     backbone_depths: tuple[int, ...] = (3, 4, 6, 3)
     backbone_hidden: tuple[int, ...] = (256, 512, 1024, 2048)
     backbone_embedding: int = 64
+    vit_patch_size: int = 16
+    vit_hidden: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    vit_mlp: int = 3072
+    vit_pos_grid: int = 14
     dtype: str = "float32"
     use_pallas_attention: bool = False
     #: rematerialize transformer layers under grad (jax.checkpoint) — trades
@@ -95,13 +105,30 @@ class DETR(nn.Module):
         if pixel_mask is None:
             pixel_mask = jnp.ones((B, H, W), bool)
 
-        feat = ResNet(
-            depths=cfg.backbone_depths,
-            hidden_sizes=cfg.backbone_hidden,
-            embedding_size=cfg.backbone_embedding,
-            dtype=dtype,
-            name="backbone",
-        )(pixel_values.astype(dtype))
+        if cfg.backbone == "vit":
+            from .vit import ViTBackbone, ViTConfig
+
+            feat = ViTBackbone(
+                ViTConfig(
+                    patch_size=cfg.vit_patch_size,
+                    hidden_size=cfg.vit_hidden,
+                    num_layers=cfg.vit_layers,
+                    num_heads=cfg.vit_heads,
+                    mlp_dim=cfg.vit_mlp,
+                    pos_grid=cfg.vit_pos_grid,
+                    dtype=cfg.dtype,
+                ),
+                use_pallas=cfg.use_pallas_attention,
+                name="backbone",
+            )(pixel_values.astype(dtype), deterministic)
+        else:
+            feat = ResNet(
+                depths=cfg.backbone_depths,
+                hidden_sizes=cfg.backbone_hidden,
+                embedding_size=cfg.backbone_embedding,
+                dtype=dtype,
+                name="backbone",
+            )(pixel_values.astype(dtype))
         fh, fw = feat.shape[1], feat.shape[2]
 
         # Downsample the pixel mask to the feature grid. Match torch

@@ -166,6 +166,46 @@ def convert_torch_state_dict(
     return {"params": params}
 
 
+def convert_vit_state_dict(
+    sd: Mapping[str, Any], num_layers: int = 12
+) -> dict[str, Any]:
+    """torch ``transformers.ViTModel`` state_dict -> flax params for
+    models/vit.py::ViTBackbone (usable as the ``backbone`` subtree of a
+    DETR param tree when ``DETRConfig.backbone == "vit"``)."""
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    params: dict[str, Any] = {
+        "cls_token": np.asarray(sd["embeddings.cls_token"], np.float32),
+        "position_embeddings": np.asarray(
+            sd["embeddings.position_embeddings"], np.float32
+        ),
+        "patch_embed": {
+            **_conv(sd, "embeddings.patch_embeddings.projection.weight"),
+            "bias": np.asarray(
+                sd["embeddings.patch_embeddings.projection.bias"], np.float32
+            ),
+        },
+        "layernorm": _ln(sd, "layernorm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": _dense(sd, f"{p}.attention.attention.query"),
+                "k_proj": _dense(sd, f"{p}.attention.attention.key"),
+                "v_proj": _dense(sd, f"{p}.attention.attention.value"),
+                "out_proj": _dense(sd, f"{p}.attention.output.dense"),
+            },
+            "layernorm_before": _ln(sd, f"{p}.layernorm_before"),
+            "layernorm_after": _ln(sd, f"{p}.layernorm_after"),
+            "intermediate": _dense(sd, f"{p}.intermediate.dense"),
+            "output": _dense(sd, f"{p}.output.dense"),
+        }
+    return {"params": params}
+
+
 def load_torch_checkpoint(path: str, **kw) -> dict[str, Any]:
     """Load a torch .pt/.bin/.safetensors DETR checkpoint file -> flax params."""
     if str(path).endswith(".safetensors"):
