@@ -34,6 +34,15 @@ _TP_RULES: list[tuple[str, Any]] = [
     (r"fc1/kernel$", P(None, MODEL_AXIS)),
     (r"fc1/bias$", P(MODEL_AXIS)),
     (r"fc2/kernel$", P(MODEL_AXIS, None)),
+    # ViT backbone blocks (models/vit.py) — the FLOPs bulk when
+    # detection.backbone=vit, so its attention/MLP get the same
+    # column/row split (the conv backbone stays replicated).
+    (r"backbone/layer_\d+/attention/(q|k|v)_proj/kernel$", P(None, MODEL_AXIS)),
+    (r"backbone/layer_\d+/attention/(q|k|v)_proj/bias$", P(MODEL_AXIS)),
+    (r"backbone/layer_\d+/attention/out_proj/kernel$", P(MODEL_AXIS, None)),
+    (r"backbone/layer_\d+/intermediate/kernel$", P(None, MODEL_AXIS)),
+    (r"backbone/layer_\d+/intermediate/bias$", P(MODEL_AXIS)),
+    (r"backbone/layer_\d+/output/kernel$", P(MODEL_AXIS, None)),
 ]
 
 

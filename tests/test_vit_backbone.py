@@ -121,3 +121,65 @@ class TestViTDETRIntegration:
         np.testing.assert_allclose(
             np.asarray(b1.boxes_xywh), np.asarray(b8.boxes_xywh), atol=1e-3
         )
+
+
+class TestViTTensorParallel:
+    def test_param_specs_shard_vit_attention_and_mlp(self):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.parallel.mesh import MODEL_AXIS
+        from office_person_detection_vit_tpu.parallel.sharding import param_specs
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"model_size": "tiny", "backbone": "vit",
+                           "patch_size": 8, "dtype": "float32",
+                           "use_pallas_attention": False},
+             "parallel": {"mesh": {"data": 1}}}
+        )
+        det = DETRDetector(cfg)
+        det.load_model()
+        specs = param_specs(det.variables)
+        layer = specs["params"]["backbone"]["layer_0"]
+        assert layer["attention"]["q_proj"]["kernel"] == P(None, MODEL_AXIS)
+        assert layer["attention"]["out_proj"]["kernel"] == P(MODEL_AXIS, None)
+        assert layer["intermediate"]["kernel"] == P(None, MODEL_AXIS)
+        assert layer["output"]["kernel"] == P(MODEL_AXIS, None)
+        assert layer["output"]["bias"] == P()
+        assert specs["params"]["backbone"]["patch_embed"]["kernel"] == P()
+
+    def test_vit_tp_detect_matches_single_device(self):
+        import numpy as np
+
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+
+        def make(data, model):
+            cfg = ConfigManager.from_dict(
+                {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                               "model_size": "tiny", "backbone": "vit",
+                               "patch_size": 8, "input_height": 96,
+                               "input_width": 128, "dtype": "float32",
+                               "use_pallas_attention": False},
+                 "parallel": {"mesh": {"data": data, "model": model}}}
+            )
+            det = DETRDetector(cfg)
+            det.load_model()
+            return det
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (2, 72, 96, 3), np.uint8)
+        b1 = make(1, 1).detect_batch(frames)
+        btp = make(4, 2).detect_batch(frames)
+        np.testing.assert_array_equal(
+            np.asarray(b1.valid), np.asarray(btp.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1.boxes_xywh), np.asarray(btp.boxes_xywh), atol=1e-3
+        )
