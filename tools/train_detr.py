@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--max-targets", type=int, default=32)
     parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    parser.add_argument("--backbone", choices=["resnet50", "vit"],
+                        default="resnet50",
+                        help="detector backbone (vit = models/vit.py, the "
+                             "spec'd ViT-era path; --patch-size sets stride)")
+    parser.add_argument("--patch-size", type=int, default=16)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--save-every", type=int, default=1,
@@ -119,11 +124,18 @@ def main(argv: list[str] | None = None) -> int:
         args.batch = len(samples)
     logger.info("dataset: %d images", len(samples))
 
+    extra = {}
+    if args.backbone == "vit":
+        extra = dict(backbone="vit", vit_patch_size=args.patch_size)
+        if args.tiny:
+            extra.update(vit_patch_size=min(args.patch_size, 8), vit_hidden=64,
+                         vit_layers=2, vit_heads=4, vit_mlp=128, vit_pos_grid=4)
     cfg = (
-        DETRConfig.tiny(use_pallas_attention=False, remat=args.remat)
+        DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
         if args.tiny
         else DETRConfig(dtype="bfloat16", remat=args.remat,
-                        use_pallas_attention=False)  # XLA attention faster at DETR scale (measured)
+                        use_pallas_attention=False,  # XLA attention faster at DETR scale (measured)
+                        **extra)
     )
     model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
     if args.init:
