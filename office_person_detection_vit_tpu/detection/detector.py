@@ -109,10 +109,14 @@ class DETRDetector:
             if str(get("detection.model_size", "full")) == "tiny":
                 common.pop("num_queries")
                 if common.get("backbone") == "vit":
+                    from ..models.vit import ViTConfig
+
+                    t = ViTConfig.tiny()
                     common.update(
-                        vit_patch_size=int(get("detection.patch_size", 8)),
-                        vit_hidden=64, vit_layers=2, vit_heads=4,
-                        vit_mlp=128, vit_pos_grid=4,
+                        vit_patch_size=int(get("detection.patch_size", t.patch_size)),
+                        vit_hidden=t.hidden_size, vit_layers=t.num_layers,
+                        vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
+                        vit_pos_grid=t.pos_grid,
                     )
                 detr_config = DETRConfig.tiny(**common)
             else:
@@ -188,10 +192,17 @@ class DETRDetector:
         Degrades to None (plain single-device jit) on one chip; on a
         multi-device backend the frame batch is DP-sharded so each chip
         detects its shard — GSPMD inserts any collectives.
+
+        Multi-host: the detect mesh spans only the LOCAL process's devices
+        — detect_batch feeds host frames and fetches host results, which
+        cannot touch non-addressable shards; on a pod slice each process
+        detects its own video shard (the global mesh is the training
+        path's concern, docs/architecture.md "Multi-host").
         """
         from ..parallel.mesh import make_mesh
 
-        n = len(jax.devices())
+        devices = jax.local_devices()
+        n = len(devices)
         mp = max(1, self.model_parallel)
         dp = self.data_parallel
         if dp == -1:  # auto: all visible devices
@@ -209,7 +220,7 @@ class DETRDetector:
             self.mesh = None
             self._data_size = 1
             return
-        self.mesh = make_mesh(total, model_parallel=mp)
+        self.mesh = make_mesh(total, model_parallel=mp, devices=devices)
         self._data_size = dp
         if self.batch_size % dp:
             aligned = ((self.batch_size + dp - 1) // dp) * dp
@@ -352,8 +363,9 @@ class DETRDetector:
                 best[fmt] = min(best[fmt], time.perf_counter() - t0)
         winner = min(best, key=best.get)
         logger.info(
-            "transfer autotune: %s (bgr %.1f ms, i420 %.1f ms per batch)",
-            winner, 1e3 * best["bgr"], 1e3 * best["i420"],
+            "transfer autotune: %s (%s per batch)",
+            winner,
+            ", ".join(f"{fmt} {1e3 * t:.1f} ms" for fmt, t in best.items()),
         )
         return winner
 

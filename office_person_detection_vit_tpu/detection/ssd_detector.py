@@ -87,13 +87,21 @@ class SSDDetector:
     def _setup_mesh(self) -> None:
         from ..parallel.mesh import make_mesh
 
-        n = len(jax.devices())
+        # Local devices only: on a pod slice each process detects its own
+        # shard (host fetches cannot touch non-addressable devices).
+        devices = jax.local_devices()
+        n = len(devices)
         dp = self.data_parallel if self.data_parallel != -1 else n
+        if dp > n:
+            logger.warning(
+                "parallel config wants %d devices but only %d visible; "
+                "falling back to single-device", dp, n,
+            )
         if dp <= 1 or dp > n:
             self.mesh = None
             self._data_size = 1
             return
-        self.mesh = make_mesh(dp)
+        self.mesh = make_mesh(dp, devices=devices)
         self._data_size = dp
         if self.batch_size % dp:
             self.batch_size = ((self.batch_size + dp - 1) // dp) * dp

@@ -105,12 +105,26 @@ def program_flops(jitted, *args) -> float | None:
 
 
 def analytic_detr_flops(B, H, W, cfg) -> float:
-    """FLOPs = 2*MACs throughout (backbone scaled from ResNet-50's
-    4.09 GMACs @224²; the transformer terms below already carry the 2x).
-    Cross-check: XLA cost_analysis reports 177.7 GFLOPs/frame @736x1280,
-    this returns ~178.5."""
-    backbone = 2 * 4.09e9 * (H * W) / (224 * 224)
-    L = (H // 32) * (W // 32)
+    """FLOPs = 2*MACs throughout. ResNet backbone scaled from ResNet-50's
+    4.09 GMACs @224²; ViT backbone (cfg.backbone == "vit") computed from
+    its token/width geometry, with the DETR token count following the
+    patch stride. Cross-check (R50): XLA cost_analysis reports 177.7
+    GFLOPs/frame @736x1280, this returns ~178.5."""
+    if getattr(cfg, "backbone", "resnet50") == "vit":
+        P_ = cfg.vit_patch_size
+        Lv = (H // P_) * (W // P_) + 1  # + CLS token
+        dv, fv = cfg.vit_hidden, cfg.vit_mlp
+        per_layer = 8 * Lv * dv * dv + 4 * Lv * Lv * dv + 4 * Lv * dv * fv
+        backbone = (
+            cfg.vit_layers * per_layer
+            + 2 * Lv * (P_ * P_ * 3) * dv  # patch embed
+        )
+        L = (H // P_) * (W // P_)
+        proj_in = dv
+    else:
+        backbone = 2 * 4.09e9 * (H * W) / (224 * 224)
+        L = (H // 32) * (W // 32)
+        proj_in = 2048
     d, f = cfg.d_model, cfg.ffn_dim
     enc = cfg.num_encoder_layers * (8 * L * d * d + 4 * L * L * d + 4 * L * d * f)
     Q = cfg.num_queries
@@ -119,7 +133,7 @@ def analytic_detr_flops(B, H, W, cfg) -> float:
         + 4 * Q * d * d + 4 * L * d * d + 4 * Q * L * d  # cross-attn
         + 4 * Q * d * f                         # ffn
     )
-    proj = 2 * L * 2048 * d
+    proj = 2 * L * proj_in * d
     return B * (backbone + enc + dec + proj)
 
 

@@ -46,7 +46,7 @@ from office_person_detection_vit_tpu.core.dto import Detection  # noqa: E402
 from office_person_detection_vit_tpu.tracking.tracker import Tracker  # noqa: E402
 
 
-def _person_feature(rng: np.random.Generator, tid: int, dim: int = 256):
+def _person_feature(tid: int, dim: int = 256):
     """Stable per-identity unit feature (seeded by the id)."""
     r = np.random.default_rng(1000 + tid)
     f = r.normal(size=dim).astype(np.float32)
@@ -99,7 +99,7 @@ def run_tracker(
                 confidence=float(rng.uniform(0.6, 0.95)),
             )
             if use_features:
-                base = _person_feature(rng, tid)
+                base = _person_feature(tid)
                 nse = rng.normal(0, 0.05, base.shape).astype(np.float32)
                 feat = base + nse
                 d.feature = feat / np.linalg.norm(feat)

@@ -128,8 +128,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.backbone == "vit":
         extra = dict(backbone="vit", vit_patch_size=args.patch_size)
         if args.tiny:
-            extra.update(vit_patch_size=min(args.patch_size, 8), vit_hidden=64,
-                         vit_layers=2, vit_heads=4, vit_mlp=128, vit_pos_grid=4)
+            from office_person_detection_vit_tpu.models.vit import ViTConfig
+
+            t = ViTConfig.tiny()
+            extra.update(vit_patch_size=min(args.patch_size, t.patch_size),
+                         vit_hidden=t.hidden_size, vit_layers=t.num_layers,
+                         vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
+                         vit_pos_grid=t.pos_grid)
     cfg = (
         DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
         if args.tiny
