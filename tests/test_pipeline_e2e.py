@@ -464,3 +464,21 @@ def test_dense_aggregation_keeps_trackless_windows(tmp_path):
     assert len(out) == 2
     assert out[0].detections == []           # empty window preserved
     assert [d.track_id for d in out[1].detections] == [3]
+
+
+class TestViTBackbonePipeline:
+    def test_pipeline_with_vit_backbone(self, tmp_path, video):
+        """Full orchestrated run with detection.backbone=vit (the namesake
+        path, reference config.yaml.disabled:32-44 patch_size key)."""
+        cfg = _config(
+            tmp_path, video,
+            **{"detection.backbone": "vit", "detection.patch_size": 8},
+        )
+        orch = PipelineOrchestrator(cfg)
+        orch.run()
+        det = orch.detection_phase.detector
+        assert det.detr_config.backbone == "vit"
+        assert det.feature_stride == 8
+        session = orch.output.session_dir
+        assert (session / "05_aggregation" / "zone_counts.csv").exists()
+        assert (session / "04_transform" / "coordinate_transformations.json").exists()
