@@ -36,6 +36,10 @@ class TrackingPhase(BasePhase):
         self.reid: ReIDFeatureExtractor | None = None
         self.detector = None
         self.hybrid = bool(config.get("tracking.hybrid_mode.enabled", False))
+        # "cascade" (default) = the reference's 5-stage host tracker;
+        # "scan" = the fully-jitted lax.scan tracker — the whole sequence
+        # associates in ONE device program (tracking/scan_tracker.py).
+        self.engine = str(config.get("tracking.engine", "cascade"))
         self.save_images = bool(config.get("output.save_tracking_images", False))
         self.statistics: dict[str, Any] = {}
 
@@ -110,6 +114,35 @@ class TrackingPhase(BasePhase):
         if self.reid is None:
             self._attach_detector_features(frame_results, detection_batch)
         id_set: set[int] = set()
+        if self.engine == "scan" and not self.hybrid:
+            # Whole-sequence association in one jitted lax.scan program.
+            from ...tracking.scan_tracker import assign_track_ids
+
+            ids = assign_track_ids(
+                frame_results,
+                max_age=int(self.config.get("tracking.max_age", 5)),
+                appearance_weight=float(
+                    self.config.get("tracking.appearance_weight", 0.9)
+                ),
+                motion_weight=float(
+                    self.config.get("tracking.motion_weight", 0.1)
+                ),
+            )
+            id_set.update(int(i) for i in np.unique(ids) if i >= 0)
+            if self.save_images and frames is not None and output_dir is not None:
+                for fr, frame in zip(frame_results, frames):
+                    save_tracked_detection_image(
+                        frame, fr.detections,
+                        Path(output_dir) / f"tracked_{fr.timestamp_stem}.jpg",
+                    )
+            self.statistics = self._compute_statistics(frame_results, id_set)
+            if output_dir is not None:
+                self.export_results(frame_results, Path(output_dir))
+            self.logger.info(
+                "tracked %d frames (scan engine): %d unique ids",
+                len(frame_results), len(id_set),
+            )
+            return frame_results
         for i, fr in enumerate(frame_results):
             frame = frames[i] if frames is not None else None
             dets = fr.detections
