@@ -127,7 +127,11 @@ def scan_track(
             st.active[:, None]
             & va[None, :]
             & (dist <= max_position_distance)
-            & (iou_d < 1.0)                             # must overlap at all
+            # With appearance features, identity can bridge non-overlapping
+            # boxes (sparse 5-min sampling — the cascade's appearance-only
+            # stage does the same, reference tracker.py:146-157); without
+            # features, motion-only matching requires overlap.
+            & (use_feat | (iou_d < 1.0))
         )
         cost = jnp.where(gate, cost, BIG)
 

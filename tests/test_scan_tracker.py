@@ -171,3 +171,31 @@ def test_tracking_phase_scan_engine(tmp_path):
         assert [d.track_id for d in fr.detections] == ids0
     assert (tmp_path / "trk" / "tracks_mot.csv").exists()
     assert (tmp_path / "trk" / "tracking_statistics.json").exists()
+
+
+import pytest
+from pathlib import Path
+
+REFERENCE_GOLD_GT = Path("/root/reference/output/ground_truth/gt_tracking.json")
+
+
+@pytest.mark.skipif(
+    not REFERENCE_GOLD_GT.exists(), reason="reference checkout absent"
+)
+def test_scan_engine_reference_gold_gt():
+    """The jitted tracker holds the cascade's bar on the reference's own
+    gold GT under detector noise (appearance bridges the sparse 5-min
+    frame gaps, where motion-only overlap gating cannot)."""
+    from tools.track_quality_benchmark import run_tracker
+
+    from office_person_detection_vit_tpu.benchmark.mot_metrics import (
+        load_gold_gt,
+    )
+
+    gt = load_gold_gt(REFERENCE_GOLD_GT)
+    hyp = run_tracker(gt, noise=2.0, drop=0.1, fp_per_frame=1.0, seed=0,
+                      engine="scan")
+    res = evaluate_mot(gt, hyp)
+    assert res.mota >= 0.8, res.to_dict()
+    assert res.idf1 >= 0.9, res.to_dict()
+    assert res.idsw == 0

@@ -82,9 +82,17 @@ def run_tracker(
     use_features: bool = True,
     seed: int = 0,
     tracker: Tracker | None = None,
+    engine: str = "cascade",
 ) -> dict[int, list]:
-    """GT boxes (+ detector-like noise) -> our tracker -> hypothesis tracks."""
+    """GT boxes (+ detector-like noise) -> our tracker -> hypothesis tracks.
+
+    engine="cascade" runs the reference-semantics host tracker per frame;
+    engine="scan" packs the whole noisy sequence and associates it in one
+    jitted lax.scan program (tracking/scan_tracker.py).
+    """
     rng = np.random.default_rng(seed)
+    if engine == "scan":
+        return _run_scan_tracker(gt, noise, drop, fp_per_frame, use_features, rng)
     tracker = tracker or Tracker(max_age=5, min_hits=1, iou_threshold=0.5)
     hyp: dict[int, list] = {}
     for f in sorted(gt):
@@ -124,6 +132,59 @@ def run_tracker(
     return hyp
 
 
+def _noisy_detections(gt, f, noise, drop, fp_per_frame, use_features, rng):
+    """One frame's detector-noise detections (shared by both engines)."""
+    dets = []
+    for tid, (x, y, bw, bh) in gt[f]:
+        if drop and rng.uniform() < drop:
+            continue
+        jitter = rng.normal(0, noise, 4) if noise else np.zeros(4)
+        d = Detection(
+            bbox=(x + jitter[0], y + jitter[1],
+                  max(4.0, bw + jitter[2]), max(4.0, bh + jitter[3])),
+            confidence=float(rng.uniform(0.6, 0.95)),
+        )
+        if use_features:
+            base = _person_feature(tid)
+            nse = rng.normal(0, 0.05, base.shape).astype(np.float32)
+            feat = base + nse
+            d.feature = feat / np.linalg.norm(feat)
+        dets.append(d)
+    n_fp = rng.poisson(fp_per_frame) if fp_per_frame else 0
+    for _ in range(n_fp):
+        d = Detection(
+            bbox=(float(rng.uniform(0, 1200)), float(rng.uniform(0, 560)),
+                  60.0, 140.0),
+            confidence=float(rng.uniform(0.3, 0.6)),
+        )
+        if use_features:
+            f_ = rng.normal(size=256).astype(np.float32)
+            d.feature = f_ / np.linalg.norm(f_)
+        dets.append(d)
+    return dets
+
+
+def _run_scan_tracker(gt, noise, drop, fp_per_frame, use_features, rng):
+    from office_person_detection_vit_tpu.core.dto import FrameResult
+    from office_person_detection_vit_tpu.tracking.scan_tracker import (
+        assign_track_ids,
+    )
+
+    frame_results = [
+        FrameResult(f, None, _noisy_detections(
+            gt, f, noise, drop, fp_per_frame, use_features, rng))
+        for f in sorted(gt)
+    ]
+    assign_track_ids(frame_results, timestamps=False)
+    return {
+        fr.frame_number: [
+            (d.track_id, tuple(map(float, d.bbox)))
+            for d in fr.detections if d.track_id is not None
+        ]
+        for fr in frame_results
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--gt", help="gold-GT json (reference format)")
@@ -135,6 +196,9 @@ def main(argv=None) -> int:
     p.add_argument("--fp", type=float, default=1.0, help="false positives/frame")
     p.add_argument("--no-features", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", choices=["cascade", "scan"], default="cascade",
+                   help="cascade = reference-semantics host tracker; "
+                        "scan = fully-jitted lax.scan tracker")
     p.add_argument("--json-out", help="write metrics JSON here")
     args = p.parse_args(argv)
 
@@ -147,10 +211,12 @@ def main(argv=None) -> int:
     hyp = run_tracker(
         gt, noise=args.noise, drop=args.drop, fp_per_frame=args.fp,
         use_features=not args.no_features, seed=args.seed,
+        engine=args.engine,
     )
     res = evaluate_mot(gt, hyp)
     doc = res.to_dict()
     doc["scenario"] = args.gt or f"synthetic({args.people}p,{args.frames}f)"
+    doc["engine"] = args.engine
     doc["detector_noise"] = {
         "noise_px": args.noise, "drop": args.drop, "fp_per_frame": args.fp,
     }
