@@ -114,18 +114,40 @@ class TrackingPhase(BasePhase):
         if self.reid is None:
             self._attach_detector_features(frame_results, detection_batch)
         id_set: set[int] = set()
+        if self.engine == "scan" and self.hybrid:
+            self.logger.warning(
+                "tracking.engine=scan is ignored because "
+                "tracking.hybrid_mode.enabled is set; running the hybrid "
+                "lightweight tracker"
+            )
         if self.engine == "scan" and not self.hybrid:
             # Whole-sequence association in one jitted lax.scan program.
             from ...tracking.scan_tracker import assign_track_ids
 
+            if self.reid is not None and frames is not None:
+                # The cascade loop extracts Re-ID features per frame; the
+                # scan engine needs them attached up front.
+                for fr, frame in zip(frame_results, frames):
+                    if fr.detections:
+                        feats = self.reid.extract_features(
+                            frame, [d.bbox for d in fr.detections]
+                        )
+                        for d, f in zip(fr.detections, feats):
+                            d.feature = f
             ids = assign_track_ids(
                 frame_results,
-                max_age=int(self.config.get("tracking.max_age", 5)),
+                # Same defaults as Tracker.from_config so switching engines
+                # never silently changes retention/confirmation behavior.
+                max_age=int(self.config.get("tracking.max_age", 100)),
+                min_hits=int(self.config.get("tracking.min_hits", 1)),
                 appearance_weight=float(
                     self.config.get("tracking.appearance_weight", 0.9)
                 ),
                 motion_weight=float(
                     self.config.get("tracking.motion_weight", 0.1)
+                ),
+                max_position_distance=float(
+                    self.config.get("tracking.max_position_distance", 10000.0)
                 ),
             )
             id_set.update(int(i) for i in np.unique(ids) if i >= 0)

@@ -30,7 +30,7 @@ import numpy as np
 from jax import Array
 
 from ..ops.assignment import greedy_assignment_jit
-from ..ops.boxes import iou_matrix_xywh
+from ..ops.boxes import center_xywh, iou_matrix_xywh
 from ..ops.kalman import KFState, kf_init, kf_predict, kf_update
 
 BIG = 1e9
@@ -64,14 +64,10 @@ def init_state(capacity: int, feat_dim: int) -> TrackState:
     )
 
 
-def _center(boxes_xywh: Array) -> Array:
-    return boxes_xywh[..., :2] + boxes_xywh[..., 2:] / 2
-
-
 @partial(
     jax.jit,
     static_argnames=(
-        "max_age", "appearance_weight", "motion_weight", "max_cost",
+        "max_age", "min_hits", "appearance_weight", "motion_weight", "max_cost",
         "init_conf", "feature_alpha", "max_position_distance",
     ),
 )
@@ -83,7 +79,8 @@ def scan_track(
     feats: Array,          # (F, D, Fd) L2-normed (zeros when unused)
     dts: Array,            # (F,) seconds between frames
     *,
-    max_age: int = 5,
+    max_age: int = 100,
+    min_hits: int = 1,
     appearance_weight: float = 0.9,
     motion_weight: float = 0.1,
     max_cost: float = 0.7,
@@ -95,7 +92,6 @@ def scan_track(
     ids (F, D) i32 with -1 for unmatched/invalid detections)."""
     T = state.active.shape[0]
     D = boxes.shape[1]
-    use_feat = jnp.any(feats != 0)
 
     def step(st: TrackState, inp):
         bx, cf, va, ft, dt = inp
@@ -112,16 +108,22 @@ def scan_track(
 
         # 2. Fused cost: appearance cosine distance + IoU distance on the
         # predicted box, gated by predicted-position distance
-        # (reference tracker.py:258-315 weighting and gating).
+        # (reference tracker.py:258-315 weighting and gating). Feature use
+        # is PER PAIR: only when both the track and the detection carry a
+        # (nonzero) feature — a featureless detection among featured ones
+        # falls back to motion-only matching instead of being priced out.
         iou_d = 1.0 - iou_matrix_xywh(pred_box, bx)     # (T, D)
         cos_d = 1.0 - st.feat @ ft.T                    # (T, D)
+        det_has = jnp.any(ft != 0, axis=1)              # (D,)
+        trk_has = jnp.any(st.feat != 0, axis=1)         # (T,)
+        pair_feat = trk_has[:, None] & det_has[None, :]
         cost = jnp.where(
-            use_feat,
+            pair_feat,
             appearance_weight * cos_d + motion_weight * iou_d,
             iou_d,
         )
         dist = jnp.linalg.norm(
-            pred_center[:, None, :] - _center(bx)[None, :, :], axis=-1
+            pred_center[:, None, :] - center_xywh(bx)[None, :, :], axis=-1
         )
         gate = (
             st.active[:, None]
@@ -131,7 +133,7 @@ def scan_track(
             # boxes (sparse 5-min sampling — the cascade's appearance-only
             # stage does the same, reference tracker.py:146-157); without
             # features, motion-only matching requires overlap.
-            & (use_feat | (iou_d < 1.0))
+            & (pair_feat | (iou_d < 1.0))
         )
         cost = jnp.where(gate, cost, BIG)
 
@@ -142,7 +144,7 @@ def scan_track(
 
         # 4. Matched slots: KF update at the det center, EMA feature.
         det_idx = jnp.clip(row, 0, D - 1)
-        z = _center(bx)[det_idx]                        # (T, 2)
+        z = center_xywh(bx)[det_idx]                        # (T, 2)
         upd = jax.vmap(lambda x, P, z_: kf_update(KFState(x, P), z_))(
             kf.x, kf.P, z
         )
@@ -154,7 +156,7 @@ def scan_track(
         kf_x = jnp.where(m, upd.x, kf.x)
         kf_P = jnp.where(m[..., None], upd.P, kf.P)
         bbox = jnp.where(m, bx[det_idx], st.bbox)
-        feat = jnp.where(m & use_feat, new_feat, st.feat)
+        feat = jnp.where(m & det_has[det_idx][:, None], new_feat, st.feat)
         age = jnp.where(matched_t, 0, st.age + 1)
         hits = jnp.where(matched_t, st.hits + 1, st.hits)
         active = st.active & (age <= max_age)
@@ -168,7 +170,7 @@ def scan_track(
             kf_x, kf_P, bbox, feat, active, age, hits, ids, nid, det_slot = carry
             slot = jnp.argmin(active)                   # first inactive slot
             can = needs_init[d] & ~active[slot]
-            st0 = kf_init(_center(bx[d]))
+            st0 = kf_init(center_xywh(bx[d]))
             kf_x = jnp.where(can, kf_x.at[slot].set(st0.x), kf_x)
             kf_P = jnp.where(can, kf_P.at[slot].set(st0.P), kf_P)
             bbox = jnp.where(can, bbox.at[slot].set(bx[d]), bbox)
@@ -189,7 +191,11 @@ def scan_track(
             )
         )
 
-        out_ids = jnp.where(det_slot >= 0, ids[jnp.clip(det_slot, 0, T - 1)], -1)
+        # min_hits confirmation (reference Tracker min_hits): a detection
+        # only carries a public id once its track has enough hits.
+        slot_c = jnp.clip(det_slot, 0, T - 1)
+        confirmed = hits[slot_c] >= min_hits
+        out_ids = jnp.where((det_slot >= 0) & confirmed, ids[slot_c], -1)
         new_state = TrackState(kf_x, kf_P, bbox, feat, active, age, hits,
                                ids, next_id)
         return new_state, out_ids
@@ -224,10 +230,26 @@ def assign_track_ids(
     dts = np.ones((F,), np.float32)
     prev_ts = None
     for f, fr in enumerate(frame_results):
-        if timestamps and fr.timestamp is not None:
-            if prev_ts is not None:
-                dts[f] = max((fr.timestamp - prev_ts).total_seconds(), 1e-3)
-            prev_ts = fr.timestamp
+        ts = fr.timestamp
+        if isinstance(ts, str):  # dto contract allows ISO strings
+            from datetime import datetime as _dt
+
+            try:
+                ts = _dt.fromisoformat(ts)
+            except ValueError:
+                ts = None
+        if timestamps and ts is not None and prev_ts is not None:
+            dts[f] = max((ts - prev_ts).total_seconds(), 1e-3)
+        if timestamps:
+            # Advance by the dt we actually charged when a frame has no
+            # timestamp, so the next timestamped frame doesn't double-count
+            # the same interval.
+            from datetime import timedelta as _td
+
+            if ts is not None:
+                prev_ts = ts
+            elif prev_ts is not None:
+                prev_ts = prev_ts + _td(seconds=float(dts[f]))
         for d_i, det in enumerate(fr.detections[:D]):
             boxes[f, d_i] = det.bbox
             conf[f, d_i] = det.confidence

@@ -96,33 +96,8 @@ def run_tracker(
     tracker = tracker or Tracker(max_age=5, min_hits=1, iou_threshold=0.5)
     hyp: dict[int, list] = {}
     for f in sorted(gt):
-        dets = []
-        for tid, (x, y, bw, bh) in gt[f]:
-            if drop and rng.uniform() < drop:
-                continue
-            jitter = rng.normal(0, noise, 4) if noise else np.zeros(4)
-            d = Detection(
-                bbox=(x + jitter[0], y + jitter[1],
-                      max(4.0, bw + jitter[2]), max(4.0, bh + jitter[3])),
-                confidence=float(rng.uniform(0.6, 0.95)),
-            )
-            if use_features:
-                base = _person_feature(tid)
-                nse = rng.normal(0, 0.05, base.shape).astype(np.float32)
-                feat = base + nse
-                d.feature = feat / np.linalg.norm(feat)
-            dets.append(d)
-        n_fp = rng.poisson(fp_per_frame) if fp_per_frame else 0
-        for _ in range(n_fp):
-            d = Detection(
-                bbox=(float(rng.uniform(0, 1200)), float(rng.uniform(0, 560)),
-                      60.0, 140.0),
-                confidence=float(rng.uniform(0.3, 0.6)),
-            )
-            if use_features:
-                f_ = rng.normal(size=256).astype(np.float32)
-                d.feature = f_ / np.linalg.norm(f_)
-            dets.append(d)
+        dets = _noisy_detections(gt, f, noise, drop, fp_per_frame,
+                                 use_features, rng)
         tracker.update(dets, timestamp=float(f))
         hyp[f] = [
             (d.track_id, tuple(map(float, d.bbox)))
