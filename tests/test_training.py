@@ -553,3 +553,28 @@ class TestMultiStepTrainingEvidence:
         h2 = json.loads((ckpt / "history.json").read_text())
         assert h2["resumed_at_step"] == 2
         assert len(h2["step_losses"]) == 4
+
+
+class TestViTBackboneTraining:
+    def test_vit_sharded_step_with_backbone_tp(self):
+        """The ViT backbone trains through the (data=4, model=2) mesh with
+        its attention/MLP TP-sharded (parallel/sharding.py ViT rules)."""
+        cfg = DETRConfig.tiny(
+            num_classes=4, backbone="vit", vit_patch_size=8, vit_hidden=64,
+            vit_layers=2, vit_heads=4, vit_mlp=128, vit_pos_grid=4,
+        )
+        model, variables = init_detr(cfg, jax.random.PRNGKey(0),
+                                     input_hw=(64, 64))
+        params = variables["params"]
+        spec = param_specs(params)
+        qk = spec["backbone"]["layer_0"]["attention"]["q_proj"]["kernel"]
+        assert qk[1] == "model"
+
+        mesh = make_mesh(8, model_parallel=2)
+        tx = make_optimizer(learning_rate=1e-3)
+        step = make_sharded_train_step(model, tx, mesh, params, aux_loss=False)
+        state = step.shard_state(TrainState.create(params, tx))
+        batch = step.shard_batch(_batch(B=4))
+        state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
