@@ -143,6 +143,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=736)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--backbone", choices=["resnet50", "vit"], default="resnet50")
+    p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--json", action="store_true", help="print one JSON line")
     args = p.parse_args(argv)
 
@@ -168,7 +170,9 @@ def main(argv=None) -> int:
     B, H, W = args.batch, args.height, args.width
     cfgm = ConfigManager.from_dict(
         {"detection": {"batch_size": B, "input_height": H, "input_width": W,
-                       "dtype": "bfloat16", "use_pallas_attention": False}}
+                       "dtype": "bfloat16", "use_pallas_attention": False,
+                       "backbone": args.backbone,
+                       "patch_size": args.patch_size}}
     )
     det = DETRDetector(cfgm)
     det.load_model()
@@ -179,17 +183,32 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (B, 720, 1280, 3), np.uint8)
     pixels = np.asarray(rng.normal(size=(B, H, W, 3)), np.float32).astype(dtype)
-    fh, fw = H // 32, W // 32
+    stride = det.feature_stride
+    fh, fw = H // stride, W // stride
     L = fh * fw
-    feat = np.asarray(rng.normal(size=(B, fh, fw, 2048)), np.float32).astype(dtype)
     memory = np.asarray(rng.normal(size=(B, L, cfg.d_model)), np.float32).astype(dtype)
     src = np.asarray(rng.normal(size=(B, L, cfg.d_model)), np.float32).astype(dtype)
     logits = np.asarray(rng.normal(size=(B, cfg.num_queries, cfg.num_classes + 1)),
                         np.float32)
     boxes = np.asarray(rng.uniform(0.2, 0.6, (B, cfg.num_queries, 4)), np.float32)
 
-    backbone = ResNet(depths=cfg.backbone_depths, hidden_sizes=cfg.backbone_hidden,
-                      embedding_size=cfg.backbone_embedding, dtype=dtype)
+    # Stage isolation uses the standalone backbone module; for the ViT
+    # backbone only the per-stage backbone row differs.
+    if args.backbone == "vit":
+        from office_person_detection_vit_tpu.models.vit import (
+            ViTBackbone,
+            ViTConfig,
+        )
+
+        backbone = ViTBackbone(ViTConfig(
+            patch_size=cfg.vit_patch_size, hidden_size=cfg.vit_hidden,
+            num_layers=cfg.vit_layers, num_heads=cfg.vit_heads,
+            mlp_dim=cfg.vit_mlp, pos_grid=cfg.vit_pos_grid, dtype=cfg.dtype,
+        ))
+    else:
+        backbone = ResNet(depths=cfg.backbone_depths,
+                          hidden_sizes=cfg.backbone_hidden,
+                          embedding_size=cfg.backbone_embedding, dtype=dtype)
     encoder = Encoder(cfg.d_model, cfg.num_heads, cfg.ffn_dim,
                       cfg.num_encoder_layers, cfg.dropout, dtype,
                       cfg.use_pallas_attention)
