@@ -39,6 +39,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from office_person_detection_vit_tpu.benchmark.mot_metrics import (  # noqa: E402
+    evaluate_hota,
     evaluate_mot,
     load_gold_gt,
 )
@@ -190,6 +191,7 @@ def main(argv=None) -> int:
     )
     res = evaluate_mot(gt, hyp)
     doc = res.to_dict()
+    doc["hota"] = evaluate_hota(gt, hyp).to_dict()
     doc["scenario"] = args.gt or f"synthetic({args.people}p,{args.frames}f)"
     doc["engine"] = args.engine
     doc["detector_noise"] = {
