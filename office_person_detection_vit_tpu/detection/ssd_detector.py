@@ -63,13 +63,26 @@ class SSDDetector:
         self._jit_detect = None
         self.last_inference_time = 0.0
 
+    # Hooks the YOLOv8 facade (yolo_detector.py) overrides ---------------
+    def _make_model(self):
+        """Returns the bare flax module (for checkpoint restore)."""
+        return SingleShotDetector(self.ss_config)
+
+    def _random_init(self, rng):
+        """Returns (model, variables) with random weights."""
+        return init_single_shot(self.ss_config, rng, input_hw=(64, 64))
+
+    def _decode(self, out: dict, orig_wh, conf):
+        """Raw forward outputs -> DetectionBatch (runs inside the jit)."""
+        return decode_single_shot(out, orig_wh, self.input_hw, self.ss_config, conf)
+
     def load_model(self) -> None:
         rng = jax.random.PRNGKey(0)
         ckpt = self.checkpoint_path
         if ckpt and Path(str(ckpt)).is_dir():
             import orbax.checkpoint as ocp
 
-            self.model = SingleShotDetector(self.ss_config)
+            self.model = self._make_model()
             self.variables = ocp.StandardCheckpointer().restore(
                 Path(str(ckpt)).resolve()
             )
@@ -77,9 +90,7 @@ class SSDDetector:
         else:
             if ckpt:
                 logger.warning("checkpoint %s not found; using random init", ckpt)
-            self.model, self.variables = init_single_shot(
-                self.ss_config, rng, input_hw=(64, 64)
-            )
+            self.model, self.variables = self._random_init(rng)
         self._setup_mesh()
         self.variables = jax.device_put(self.variables)
         self._build_jits()
@@ -109,7 +120,8 @@ class SSDDetector:
     def _build_jits(self) -> None:
         model = self.model
         target_hw = self.input_hw
-        cfg = self.ss_config
+        decode = self._decode
+        out_dtype = self.ss_config.jnp_dtype
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -129,10 +141,10 @@ class SSDDetector:
         @partial(jax.jit, **jit_kwargs)
         def _detect(variables, frames_u8, orig_wh, conf):
             pixels, _mask = preprocess_frames(
-                frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
+                frames_u8, target_hw=target_hw, out_dtype=out_dtype
             )
             out = model.apply(variables, pixels, deterministic=True)
-            batch = decode_single_shot(out, orig_wh, target_hw, cfg, conf)
+            batch = decode(out, orig_wh, conf)
             return batch, out["features"]
 
         conf_default = self.confidence_threshold
@@ -194,10 +206,15 @@ class SSDDetector:
 
 
 def build_detector(config: Any):
-    """Detector factory keyed on ``detection.model`` ("detr" | "ssd")."""
+    """Detector factory keyed on ``detection.model``
+    ("detr" | "ssd" | "yolo")."""
     model = str(config.get("detection.model", "detr")).lower()
-    if model in ("ssd", "single_shot", "yolo"):
+    if model in ("ssd", "single_shot", "fcos"):
         return SSDDetector(config)
+    if model in ("yolo", "yolov8"):
+        from .yolo_detector import YOLODetector
+
+        return YOLODetector(config)
     from .detector import DETRDetector
 
     return DETRDetector(config)

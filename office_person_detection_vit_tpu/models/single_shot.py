@@ -180,8 +180,32 @@ def decode_single_shot(
             ) * inv
         )
 
-    flat_score = jnp.concatenate(all_scores, axis=1)   # (B, sum fh*fw)
-    boxes = jnp.concatenate(all_boxes, axis=1)         # (B, sum fh*fw, 4) xyxy
+    return candidates_to_batch(
+        jnp.concatenate(all_scores, axis=1),
+        jnp.concatenate(all_boxes, axis=1),
+        orig_wh,
+        K,
+        config.nms_iou_threshold,
+        confidence_threshold,
+    )
+
+
+def candidates_to_batch(
+    flat_score: Array,   # (B, N) candidate scores
+    boxes: Array,        # (B, N, 4) candidate boxes, xyxy in original pixels
+    orig_wh: Array,
+    max_detections: int,
+    nms_iou_threshold: float,
+    confidence_threshold,
+):
+    """Shared decode tail for the single-shot families (FCOS/SSD, YOLOv8):
+    fixed-capacity top-K, per-image on-device NMS, clip to the original
+    image, xywh + foot point — the same fixed-shape DetectionBatch contract
+    DETR's postprocess emits."""
+    from ..core.dto import DetectionBatch
+
+    K = max_detections
+    W, H = orig_wh[0], orig_wh[1]
     k = min(K, flat_score.shape[1])
     top_scores, top_idx = jax.lax.top_k(flat_score, k)  # (B, k)
     if k < K:  # pad candidate slots up to capacity
@@ -191,7 +215,7 @@ def decode_single_shot(
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)  # (B, K, 4)
 
     def per_image(scores_k, boxes_k):
-        keep = nms_mask(boxes_k, scores_k, config.nms_iou_threshold)
+        keep = nms_mask(boxes_k, scores_k, nms_iou_threshold)
         valid = keep & (scores_k >= confidence_threshold) & (scores_k > 0)
         x0, y0, x1, y1 = (boxes_k[:, i] for i in range(4))
         x0 = jnp.clip(x0, 0.0, W)

@@ -206,6 +206,107 @@ def convert_vit_state_dict(
     return {"params": params}
 
 
+#: ultralytics BatchNorm2d eps (their Conv block overrides torch's 1e-5).
+YOLO_BN_EPS = 1e-3
+
+
+def _fold_bn_eps(sd: Mapping[str, Any], prefix: str, eps: float) -> dict[str, np.ndarray]:
+    gamma = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    beta = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    mean = np.asarray(sd[f"{prefix}.running_mean"], np.float32)
+    var = np.asarray(sd[f"{prefix}.running_var"], np.float32)
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def convert_yolov8_state_dict(sd: Mapping[str, Any]) -> dict[str, Any]:
+    """ultralytics ``DetectionModel.state_dict()`` -> flax params for
+    :class:`office_person_detection_vit_tpu.models.yolo.YOLOv8`.
+
+    Key mapping (mechanical — module names mirror yolov8.yaml indices):
+
+    - ``model.{i}.conv.weight`` + ``model.{i}.bn.*``      -> ``m{i}/conv|bn``
+    - ``model.{i}.cv1|cv2.(conv|bn).*``                    -> ``m{i}/cv1|cv2/…``
+    - ``model.{i}.m.{j}.cv1|cv2.(conv|bn).*``              -> ``m{i}/m{j}/…``
+    - ``model.22.cv2.{l}.{0,1}.(conv|bn).*``               -> ``detect/cv2_{l}_{0,1}/…``
+    - ``model.22.cv2.{l}.2.weight|bias`` (plain conv)      -> ``detect/cv2_{l}_2``
+    - same for ``cv3``; ``model.22.dfl.conv.weight`` (the fixed arange
+      kernel) is dropped — the decode computes the expectation in closed
+      form (models/yolo.py::dfl_expectation).
+
+    BN running stats fold into FrozenBatchNorm with the ultralytics eps
+    (1e-3).  Accepts either bare ``model.N…`` keys (``DetectionModel``)
+    or a ``model.model.N…`` wrapper and ignores non-tensor bookkeeping.
+    """
+    sd = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }
+    if any(k.startswith("model.model.") for k in sd):
+        sd = {
+            k[len("model."):]: v for k, v in sd.items()
+            if k.startswith("model.model.")
+        }
+
+    def set_path(tree: dict, path: list[str], leaf: dict | np.ndarray) -> None:
+        for p in path[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[path[-1]] = leaf
+
+    params: dict[str, Any] = {}
+    for key in sd:
+        m = re.match(r"model\.(\d+)\.(.*)$", key)
+        if not m:
+            continue
+        idx, rest = int(m.group(1)), m.group(2)
+        # Conv blocks / C2f / SPPF inside modules m{i}.
+        cm = re.match(r"((?:m\.\d+\.)?cv\d\.|)(conv)\.weight$", rest)
+        if cm:
+            inner = cm.group(1).rstrip(".")
+            # "m.{j}.cv1" -> ["m{j}", "cv1"]; "cv1" -> ["cv1"]; "" -> [].
+            norm: list[str] = []
+            toks = [t for t in inner.split(".") if t]
+            i = 0
+            while i < len(toks):
+                if toks[i] == "m" and i + 1 < len(toks) and toks[i + 1].isdigit():
+                    norm.append(f"m{toks[i + 1]}")
+                    i += 2
+                else:
+                    norm.append(toks[i])
+                    i += 1
+            set_path(params, [f"m{idx}"] + norm + ["conv"], _conv(sd, key))
+            set_path(
+                params,
+                [f"m{idx}"] + norm + ["bn"],
+                _fold_bn_eps(sd, f"model.{idx}.{inner + '.' if inner else ''}bn",
+                             YOLO_BN_EPS),
+            )
+            continue
+        # Detect head branches: cv2/cv3 . level . stage.
+        hm = re.match(r"(cv[23])\.(\d+)\.(\d+)\.conv\.weight$", rest)
+        if hm:
+            br, l, s = hm.group(1), int(hm.group(2)), int(hm.group(3))
+            set_path(params, ["detect", f"{br}_{l}_{s}", "conv"], _conv(sd, key))
+            set_path(
+                params,
+                ["detect", f"{br}_{l}_{s}", "bn"],
+                _fold_bn_eps(sd, f"model.{idx}.{br}.{l}.{s}.bn", YOLO_BN_EPS),
+            )
+            continue
+        hm = re.match(r"(cv[23])\.(\d+)\.2\.weight$", rest)
+        if hm:
+            br, l = hm.group(1), int(hm.group(2))
+            leaf = _conv(sd, key)
+            bias_key = f"model.{idx}.{br}.{l}.2.bias"
+            if bias_key in sd:
+                leaf["bias"] = np.asarray(sd[bias_key], np.float32)
+            set_path(params, ["detect", f"{br}_{l}_2"], leaf)
+            continue
+        # dfl.conv.weight (fixed arange), biases already handled, bn stats
+        # consumed alongside their conv: nothing else to map.
+    return {"params": params}
+
+
 def load_torch_checkpoint(path: str, **kw) -> dict[str, Any]:
     """Load a torch .pt/.bin/.safetensors DETR checkpoint file -> flax params."""
     if str(path).endswith(".safetensors"):

@@ -10,6 +10,7 @@ from .train_step import (
     make_sharded_train_step,
     make_train_step,
 )
+from .yolo_criterion import YOLOCriterionConfig, make_yolo_train_step, yolo_loss
 
 __all__ = [
     "CriterionConfig",
@@ -25,4 +26,7 @@ __all__ = [
     "make_ssd_train_step",
     "pack_targets",
     "ssd_loss",
+    "YOLOCriterionConfig",
+    "make_yolo_train_step",
+    "yolo_loss",
 ]

@@ -316,6 +316,20 @@ class TestAlternateConfigurations:
         session = orch.output.session_dir
         assert (session / "05_aggregation" / "zone_counts.csv").exists()
 
+    def test_pipeline_with_yolo_detector(self, tmp_path, video):
+        """Orchestrated run with the YOLOv8 family — the reference's
+        shipping detector architecture (yolov8_detector.py)."""
+        cfg = _config(tmp_path, video, **{"detection.model": "yolo"})
+        orch = PipelineOrchestrator(cfg)
+        result = orch.run()
+        from office_person_detection_vit_tpu.detection.yolo_detector import (
+            YOLODetector,
+        )
+
+        assert isinstance(orch.detection_phase.detector, YOLODetector)
+        session = orch.output.session_dir
+        assert (session / "05_aggregation" / "zone_counts.csv").exists()
+
 
 class TestFailurePaths:
     def test_failed_run_writes_failed_summary(self, tmp_path, video):
