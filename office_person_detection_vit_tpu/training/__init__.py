@@ -10,7 +10,12 @@ from .train_step import (
     make_sharded_train_step,
     make_train_step,
 )
-from .yolo_criterion import YOLOCriterionConfig, make_yolo_train_step, yolo_loss
+from .yolo_criterion import (
+    YOLOCriterionConfig,
+    make_yolo_sharded_train_step,
+    make_yolo_train_step,
+    yolo_loss,
+)
 
 __all__ = [
     "CriterionConfig",
@@ -27,6 +32,7 @@ __all__ = [
     "pack_targets",
     "ssd_loss",
     "YOLOCriterionConfig",
+    "make_yolo_sharded_train_step",
     "make_yolo_train_step",
     "yolo_loss",
 ]

@@ -193,6 +193,16 @@ def yolo_loss(
     }
 
 
+def _make_loss_fn(model, input_hw, config):
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch["pixels"], deterministic=True)
+        return yolo_loss(
+            out, batch["labels"], batch["boxes"], batch["valid"], input_hw, config
+        )
+
+    return loss_fn
+
+
 def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None):
     """Jitted (state, batch, rng) -> (state, metrics) — same contract as
     make_ssd_train_step / the DETR step."""
@@ -204,12 +214,7 @@ def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None):
         config = YOLOCriterionConfig(
             strides=model.config.strides, reg_max=model.config.reg_max
         )
-
-    def loss_fn(params, batch):
-        out = model.apply({"params": params}, batch["pixels"], deterministic=True)
-        return yolo_loss(
-            out, batch["labels"], batch["boxes"], batch["valid"], input_hw, config
-        )
+    loss_fn = _make_loss_fn(model, input_hw, config)
 
     @jax.jit
     def step(state: TrainState, batch: dict, rng):
@@ -224,3 +229,75 @@ def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None):
         )
 
     return step
+
+
+def make_yolo_sharded_train_step(model, tx, mesh, params_template,
+                                 input_hw: tuple[int, int], config=None):
+    """The same step jitted over the device mesh — pure data parallelism
+    (the conv param tree matches no TP rule, so parallel/sharding.py
+    replicates it; GSPMD derives the gradient all-reduce over ``data``
+    from the batch sharding alone). Exposes ``.shard_state`` /
+    ``.shard_batch`` like make_sharded_train_step."""
+    from functools import partial
+
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+    from ..parallel.sharding import param_specs
+    from .train_step import TrainState, _donate_argnums, _opt_state_specs
+
+    if config is None:
+        config = YOLOCriterionConfig(
+            strides=model.config.strides, reg_max=model.config.reg_max
+        )
+    loss_fn = _make_loss_fn(model, input_hw, config)
+
+    pspecs = param_specs(params_template)
+    opt_specs = _opt_state_specs(tx, params_template, pspecs)
+    state_specs = TrainState(step=P(), params=pspecs, opt_state=opt_specs)
+    batch_specs = {
+        "pixels": P(DATA_AXIS),
+        "labels": P(DATA_AXIS),
+        "boxes": P(DATA_AXIS),
+        "valid": P(DATA_AXIS),
+    }
+
+    def _shard(tree, specs):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        )
+
+    def step_fn(state: TrainState, batch: dict, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            metrics,
+        )
+
+    jitted = jax.jit(
+        step_fn,
+        donate_argnums=_donate_argnums(),
+        in_shardings=(
+            jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), state_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+            {k: NamedSharding(mesh, v) for k, v in batch_specs.items()},
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=(
+            jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), state_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+            NamedSharding(mesh, P()),
+        ),
+    )
+    jitted.shard_state = partial(_shard, specs=state_specs)  # type: ignore[attr-defined]
+    jitted.shard_batch = partial(_shard, specs=batch_specs)  # type: ignore[attr-defined]
+    return jitted

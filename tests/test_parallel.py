@@ -286,3 +286,32 @@ def test_ssd_detector_dp_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(b1.boxes_xywh), np.asarray(b8.boxes_xywh), atol=1e-3
     )
+
+
+def test_yolo_detector_dp_matches_single_device():
+    """The YOLOv8 family inherits the SSD facade's DP mesh path verbatim."""
+    import numpy as np
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.yolo_detector import YOLODetector
+
+    def make(data):
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                           "model_size": "tiny", "input_height": 96,
+                           "input_width": 128, "dtype": "float32"},
+             "parallel": {"mesh": {"data": data}}}
+        )
+        det = YOLODetector(cfg)
+        det.load_model()
+        return det
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 72, 96, 3), np.uint8)
+    d1, d8 = make(1), make(-1)
+    assert d1.mesh is None and d8.mesh is not None
+    b1, b8 = d1.detect_batch(frames), d8.detect_batch(frames)
+    np.testing.assert_array_equal(np.asarray(b1.valid), np.asarray(b8.valid))
+    np.testing.assert_allclose(
+        np.asarray(b1.boxes_xywh), np.asarray(b8.boxes_xywh), atol=1e-3
+    )

@@ -226,6 +226,89 @@ class TestYOLOCriterion:
         assert float(metrics["num_pos"]) >= 1
 
 
+class TestYOLOShardedTraining:
+    def test_sharded_step_matches_single_device(self):
+        """DP over the 8-device mesh computes the same loss/updates as one
+        device (GSPMD grad all-reduce; conv params replicate — no TP rule
+        matches them)."""
+        import optax
+
+        from office_person_detection_vit_tpu.parallel.mesh import make_mesh
+        from office_person_detection_vit_tpu.training import (
+            TrainState,
+            make_yolo_sharded_train_step,
+            make_yolo_train_step,
+            pack_targets,
+        )
+
+        cfg = YOLOConfig.tiny()
+        model, variables = init_yolo(cfg, jax.random.PRNGKey(0), (64, 64))
+        params = variables["params"]
+        tx = optax.adam(1e-3)
+        rng = np.random.default_rng(0)
+        labels, boxes, valid = pack_targets(
+            [rng.uniform(0.3, 0.6, (2, 4)) for _ in range(8)],
+            [[1, 1]] * 8, capacity=3,
+        )
+        batch = {
+            "pixels": jnp.asarray(rng.normal(size=(8, 64, 64, 3)), jnp.float32),
+            "labels": labels, "boxes": boxes, "valid": valid,
+        }
+        key = jax.random.PRNGKey(2)
+
+        single = make_yolo_train_step(model, tx, (64, 64))
+        s1, m1 = single(TrainState.create(params, tx), batch, key)
+
+        mesh = make_mesh(8)
+        sharded = make_yolo_sharded_train_step(model, tx, mesh, params, (64, 64))
+        st = sharded.shard_state(TrainState.create(params, tx))
+        s2, m2 = sharded(st, sharded.shard_batch(batch), key)
+
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+        l1 = jax.tree_util.tree_leaves(jax.device_get(s1.params))
+        l2 = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_train_tool_runs_yolo_family(self, tmp_path):
+        """tools/train_detr.py --model yolo (the reference's
+        tools/train_yolov8.py analog) trains the tiny variant end-to-end."""
+        import json
+
+        import cv2
+
+        from tools.train_detr import main as train_main
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        images, anns = [], []
+        for i in range(8):
+            img = np.full((96, 128, 3), 100, np.uint8)
+            x, y, w, h = 20 + 6 * i, 20, 30, 50
+            cv2.rectangle(img, (x, y), (x + w, y + h), (40, 60, 200), -1)
+            cv2.imwrite(str(img_dir / f"i{i}.jpg"), img)
+            images.append({"id": i, "file_name": f"i{i}.jpg",
+                           "width": 128, "height": 96})
+            anns.append({"id": i + 1, "image_id": i, "category_id": 1,
+                         "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+        (tmp_path / "coco.json").write_text(json.dumps(
+            {"images": images, "annotations": anns,
+             "categories": [{"id": 1, "name": "person"}]}))
+        ckpt = tmp_path / "ckpt"
+        rc = train_main([
+            "--images", str(img_dir),
+            "--annotations", str(tmp_path / "coco.json"),
+            "--batch", "8", "--height", "96", "--width", "128",
+            "--model", "yolo", "--tiny",
+            "--checkpoint", str(ckpt), "--lr", "1e-4", "--epochs", "2",
+        ])
+        assert rc == 0
+        assert (ckpt / "weights.npz").exists()
+        h = json.loads((ckpt / "history.json").read_text())
+        assert len(h["step_losses"]) == 2
+        assert all(np.isfinite(h["step_losses"]))
+
+
 class TestYOLODetectorFacade:
     @pytest.fixture(scope="class")
     def tiny_yolo(self):

@@ -137,6 +137,94 @@ def analytic_detr_flops(B, H, W, cfg) -> float:
     return B * (backbone + enc + dec + proj)
 
 
+def _profile_yolo(args) -> int:
+    """Full-program ceiling + MFU for the YOLOv8 family (models/yolo.py):
+    model forward and the DFL decode + NMS stage chained separately, plus
+    the full fused detect program (the production path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.yolo_detector import YOLODetector
+    from office_person_detection_vit_tpu.models.yolo import decode_yolo
+    from office_person_detection_vit_tpu.ops.preprocessing import preprocess_frames
+
+    B, H, W = args.batch, args.height, args.width
+    cfgm = ConfigManager.from_dict(
+        {"detection": {"batch_size": B, "input_height": H, "input_width": W,
+                       "dtype": "bfloat16", "model": "yolo",
+                       "yolo_variant": args.yolo_variant,
+                       "confidence_threshold": 0.5}}
+    )
+    det = YOLODetector(cfgm)
+    det.load_model()
+    cfg = det.yolo_config
+    dtype = cfg.jnp_dtype
+    model = det.model
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (B, 720, 1280, 3), np.uint8)
+    pixels = np.asarray(rng.normal(size=(B, H, W, 3)), np.float32).astype(dtype)
+    orig_wh = np.asarray([1280.0, 720.0], np.float32)
+
+    stages = {}
+
+    def add(name, fn, *inputs, **kw):
+        sec, _, args_d = chain_time(fn, *inputs, iters=args.iters, **kw)
+        fl = program_flops(jax.jit(fn), *args_d)
+        stages[name] = {"ms": 1e3 * sec, "flops": fl}
+
+    add("preprocess", lambda f: preprocess_frames(f, target_hw=(H, W),
+                                                  out_dtype=dtype)[0], frames)
+    add("forward", lambda x: model.apply(det.variables, x, deterministic=True)[
+        "levels"][0]["class_logits"], pixels)
+
+    raw = jax.jit(lambda x: model.apply(det.variables, x, deterministic=True))(
+        jnp.asarray(pixels)
+    )
+    levels_host = jax.device_get(raw["levels"])
+
+    def decode_stage(*flat):
+        levels = [
+            {"box_dist": flat[2 * i], "class_logits": flat[2 * i + 1]}
+            for i in range(len(flat) // 2)
+        ]
+        out = decode_yolo({"levels": levels}, jnp.asarray(orig_wh), (H, W),
+                          cfg, 0.5)
+        return out.scores
+    flat_levels = [a for lv in levels_host for a in (lv["box_dist"],
+                                                     lv["class_logits"])]
+    add("decode+nms", decode_stage, *flat_levels)
+
+    def full(f):
+        batch, _ = det._jit_detect(det.variables, f, jnp.asarray(orig_wh))
+        return batch.scores
+    sec_full, _, args_full = chain_time(full, frames, iters=args.iters)
+    fl_full = program_flops(jax.jit(full), *args_full)
+
+    peak, kind = detect_peak_tflops()
+    achieved = (fl_full or 0.0) / sec_full
+    report = {
+        "device": kind,
+        "model": f"yolov8-{args.yolo_variant}",
+        "batch": B, "input_hw": [H, W],
+        "stages_ms": {k: round(v["ms"], 2) for k, v in stages.items()},
+        "full_ms": round(1e3 * sec_full, 2),
+        "fps": round(B / sec_full, 1),
+        "flops_per_batch": fl_full,
+        "gflops_per_frame": round((fl_full or 0.0) / B / 1e9, 1),
+        "achieved_tflops": round(achieved / 1e12, 1),
+        "peak_bf16_tflops": peak,
+        "mfu_pct": round(100 * achieved / (peak * 1e12), 1),
+    }
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
@@ -145,6 +233,9 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--backbone", choices=["resnet50", "vit"], default="resnet50")
     p.add_argument("--patch-size", type=int, default=16)
+    p.add_argument("--model", choices=["detr", "yolo"], default="detr")
+    p.add_argument("--yolo-variant", default="x",
+                   help="YOLO family size (n|s|m|l|x) when --model yolo")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     args = p.parse_args(argv)
 
@@ -156,6 +247,9 @@ def main(argv=None) -> int:
     )
 
     enable_persistent_cache()
+
+    if args.model == "yolo":
+        return _profile_yolo(args)
 
     from office_person_detection_vit_tpu.config.config_manager import ConfigManager
     from office_person_detection_vit_tpu.detection.detector import DETRDetector

@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--max-targets", type=int, default=32)
     parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    parser.add_argument("--model", choices=["detr", "yolo"], default="detr",
+                        help="detector family: detr (Hungarian-matched set "
+                             "loss) or yolo (YOLOv8, BCE+CIoU+DFL — the "
+                             "reference's tools/train_yolov8.py analog)")
+    parser.add_argument("--yolo-variant", default="s",
+                        help="YOLO family size n|s|m|l|x (--model yolo)")
     parser.add_argument("--backbone", choices=["resnet50", "vit"],
                         default="resnet50",
                         help="detector backbone (vit = models/vit.py, the "
@@ -124,40 +130,82 @@ def main(argv: list[str] | None = None) -> int:
         args.batch = len(samples)
     logger.info("dataset: %d images", len(samples))
 
-    extra = {}
-    if args.backbone == "vit":
-        extra = dict(backbone="vit", vit_patch_size=args.patch_size)
-        if args.tiny:
-            from office_person_detection_vit_tpu.models.vit import ViTConfig
+    target_hw = (args.height, args.width)
+    if args.model == "yolo":
+        from office_person_detection_vit_tpu.models.yolo import (
+            YOLOConfig,
+            init_yolo,
+        )
+        from office_person_detection_vit_tpu.training import (
+            make_yolo_sharded_train_step,
+            make_yolo_train_step,
+        )
 
-            t = ViTConfig.tiny()
-            extra.update(vit_patch_size=min(args.patch_size, t.patch_size),
-                         vit_hidden=t.hidden_size, vit_layers=t.num_layers,
-                         vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
-                         vit_pos_grid=t.pos_grid)
-    cfg = (
-        DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
-        if args.tiny
-        else DETRConfig(dtype="bfloat16", remat=args.remat,
-                        use_pallas_attention=False,  # XLA attention faster at DETR scale (measured)
-                        **extra)
-    )
-    model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
-    if args.init:
-        if args.init.exists():
-            from office_person_detection_vit_tpu.models.weights import (
-                load_any_checkpoint,
-            )
+        cfg = (YOLOConfig.tiny() if args.tiny
+               else YOLOConfig(variant=args.yolo_variant))
+        model, variables = init_yolo(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+        if args.init:
+            if args.init.exists():
+                from office_person_detection_vit_tpu.models.weights import (
+                    convert_yolov8_state_dict,
+                )
 
-            variables = load_any_checkpoint(
-                args.init, template=variables,
-                num_encoder_layers=cfg.num_encoder_layers,
-                num_decoder_layers=cfg.num_decoder_layers,
-            )
-            logger.info("initialized from %s", args.init)
-        else:
-            logger.warning("--init %s not found; training from random init",
-                           args.init)
+                if args.init.suffix in (".pt", ".pth", ".bin"):
+                    import torch
+
+                    sd = torch.load(str(args.init), map_location="cpu",
+                                    weights_only=True)
+                    if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+                        sd = sd["model"]
+                    variables = convert_yolov8_state_dict(sd)
+                else:
+                    variables = _load_pytree(args.init, variables)
+                logger.info("initialized from %s", args.init)
+            else:
+                logger.warning("--init %s not found; training from random init",
+                               args.init)
+        make_single = lambda m, t: make_yolo_train_step(m, t, target_hw)  # noqa: E731
+        make_sharded = lambda m, t, mesh, p: make_yolo_sharded_train_step(  # noqa: E731
+            m, t, mesh, p, target_hw)
+    else:
+        make_single = make_train_step
+        make_sharded = make_sharded_train_step
+
+    if args.model != "yolo":
+        extra = {}
+        if args.backbone == "vit":
+            extra = dict(backbone="vit", vit_patch_size=args.patch_size)
+            if args.tiny:
+                from office_person_detection_vit_tpu.models.vit import ViTConfig
+
+                t = ViTConfig.tiny()
+                extra.update(vit_patch_size=min(args.patch_size, t.patch_size),
+                             vit_hidden=t.hidden_size, vit_layers=t.num_layers,
+                             vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
+                             vit_pos_grid=t.pos_grid)
+        cfg = (
+            DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
+            if args.tiny
+            else DETRConfig(dtype="bfloat16", remat=args.remat,
+                            use_pallas_attention=False,  # XLA attention faster at DETR scale (measured)
+                            **extra)
+        )
+        model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+        if args.init:
+            if args.init.exists():
+                from office_person_detection_vit_tpu.models.weights import (
+                    load_any_checkpoint,
+                )
+
+                variables = load_any_checkpoint(
+                    args.init, template=variables,
+                    num_encoder_layers=cfg.num_encoder_layers,
+                    num_decoder_layers=cfg.num_decoder_layers,
+                )
+                logger.info("initialized from %s", args.init)
+            else:
+                logger.warning("--init %s not found; training from random init",
+                               args.init)
     params = variables["params"]
 
     tx = make_optimizer(learning_rate=args.lr, backbone_lr=args.lr / 10)
@@ -176,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
     data_parallel = n_dev // args.model_parallel
     if n_dev > 1 and args.batch % max(data_parallel, 1) == 0:
         mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
-        step = make_sharded_train_step(model, tx, mesh, params)
+        step = make_sharded(model, tx, mesh, params)
         state = step.shard_state(state0)
         shard_batch = step.shard_batch
     else:
@@ -185,11 +233,10 @@ def main(argv: list[str] | None = None) -> int:
                 "batch %d not divisible by data axis %d; single-device step",
                 args.batch, data_parallel,
             )
-        step = make_train_step(model, tx)
+        step = make_single(model, tx)
         state = state0
         shard_batch = lambda b: b  # noqa: E731
 
-    target_hw = (args.height, args.width)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
 
@@ -209,13 +256,16 @@ def main(argv: list[str] | None = None) -> int:
             [s[2] for s in batch_samples],
             capacity=args.max_targets,
         )
-        return {
+        batch = {
             "pixels": pixels,
             "pixel_mask": mask,
             "labels": labels,
             "boxes": boxes,
             "valid": valid,
         }
+        if args.model == "yolo":  # no mask input; keep batch == shard specs
+            del batch["pixel_mask"]
+        return batch
 
     def save_state(epoch: int) -> None:
         args.checkpoint.mkdir(parents=True, exist_ok=True)
