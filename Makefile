@@ -112,5 +112,11 @@ dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 	$(PYTHON) -c "import jax; jax.config.update('jax_platforms','cpu'); from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
 
+# Native host-staging library (ctypes; auto-built on first import too).
+native:
+	g++ -O3 -shared -fPIC -pthread -std=c++17 \
+	office_person_detection_vit_tpu/native/staging.cpp \
+	-o office_person_detection_vit_tpu/native/_staging.so
+
 clean:
 	rm -rf output/2* output/latest __pycache__ .pytest_cache

@@ -79,9 +79,15 @@ def bgr_to_i420(frames) -> "np.ndarray":
     Requires H % 4 == 0 and W % 2 == 0 — the device-side de-interleave
     reshapes the chroma block as (2, H//4, W) (cv2's I420 itself only needs
     even H, but an odd half-height chroma block can't be split that way).
+
+    Dispatches to the native multithreaded encoder (native/staging.cpp,
+    byte-identical to cv2 — measured ~15x faster than the per-frame
+    cv2.cvtColor loop) when the library is available; cv2 otherwise.
     """
     import cv2
     import numpy as np
+
+    from .. import native
 
     H, W = frames.shape[1:3]
     if H % 4 or W % 2:
@@ -89,6 +95,9 @@ def bgr_to_i420(frames) -> "np.ndarray":
             f"i420 transfer needs H%4==0 and W%2==0, got {H}x{W}; "
             "use detection.transfer_format=bgr for this input"
         )
+    out = native.bgr_to_i420(np.asarray(frames))
+    if out is not None:
+        return out
     return np.stack(
         [cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420) for f in frames]
     )
@@ -156,6 +165,11 @@ def i420_delta_encode(i420_frames, prev_last):
     """
     import numpy as np
 
+    from .. import native
+
+    out = native.i420_delta_encode(np.asarray(i420_frames), prev_last)
+    if out is not None:
+        return out
     deltas = i420_frames.copy()
     deltas[1:] ^= i420_frames[:-1]
     deltas[0] ^= np.asarray(prev_last, np.uint8)
