@@ -316,6 +316,9 @@ class DETRDetector:
                 self._delta_prev_dev = last
                 return batch, enc
 
+            # The raw jitted program (purely functional, re-jittable) for
+            # callers that bypass the host wrapper — __graft_entry__.entry.
+            _detect_with_conf.jitted = _detect_delta if delta else _detect
             return _detect_with_conf
 
         # One jitted program per transfer format actually in use; "auto"
