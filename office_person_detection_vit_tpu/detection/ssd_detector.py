@@ -153,6 +153,11 @@ class SSDDetector:
             c = jnp.asarray(conf_default if conf is None else conf, jnp.float32)
             return _detect(variables, frames_u8, orig_wh, c)
 
+        # Raw jitted program for re-jitting callers (profiler, graft entry):
+        # tracing through the wrapper would bake `variables` in as HLO
+        # constants, which blows the remote-compile request past the
+        # tunnel's size limit for the large YOLO variants (HTTP 413).
+        _detect_with_conf.jitted = _detect
         self._jit_detect = _detect_with_conf
 
     # Same batched surface as DETRDetector ------------------------------

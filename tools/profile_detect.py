@@ -176,11 +176,15 @@ def _profile_yolo(args) -> int:
 
     add("preprocess", lambda f: preprocess_frames(f, target_hw=(H, W),
                                                   out_dtype=dtype)[0], frames)
-    add("forward", lambda x: model.apply(det.variables, x, deterministic=True)[
-        "levels"][0]["class_logits"], pixels)
+    # Params ride as TRACED arguments, never closures: closed-over arrays
+    # get baked into the HLO as constants, and for the large variants the
+    # remote-compile request then exceeds the tunnel's body-size limit
+    # (HTTP 413 observed with yolov8-x).
+    add("forward", lambda x, v: model.apply(v, x, deterministic=True)[
+        "levels"][0]["class_logits"], pixels, det.variables)
 
-    raw = jax.jit(lambda x: model.apply(det.variables, x, deterministic=True))(
-        jnp.asarray(pixels)
+    raw = jax.jit(lambda v, x: model.apply(v, x, deterministic=True))(
+        det.variables, jnp.asarray(pixels)
     )
     levels_host = jax.device_get(raw["levels"])
 
@@ -196,10 +200,13 @@ def _profile_yolo(args) -> int:
                                                      lv["class_logits"])]
     add("decode+nms", decode_stage, *flat_levels)
 
-    def full(f):
-        batch, _ = det._jit_detect(det.variables, f, jnp.asarray(orig_wh))
+    def full(f, v):
+        batch, _ = det._jit_detect.jitted(
+            v, f, jnp.asarray(orig_wh), jnp.float32(0.5)
+        )
         return batch.scores
-    sec_full, _, args_full = chain_time(full, frames, iters=args.iters)
+    sec_full, _, args_full = chain_time(full, frames, det.variables,
+                                        iters=args.iters)
     fl_full = program_flops(jax.jit(full), *args_full)
 
     peak, kind = detect_peak_tflops()
@@ -328,30 +335,34 @@ def main(argv=None) -> int:
     orig_wh = np.asarray([1280.0, 720.0], np.float32)
     add("preprocess", lambda f: preprocess_frames(f, target_hw=(H, W),
                                                   out_dtype=dtype)[0], frames)
+    # Params as traced args, not closures (closed-over arrays become HLO
+    # constants and bloat the remote-compile request — see _profile_yolo).
     add("backbone",
-        lambda x: backbone.apply({"params": params["backbone"]}, x), pixels)
+        lambda x, p: backbone.apply({"params": p}, x),
+        pixels, params["backbone"])
     add("input_proj+encoder",
-        lambda f, pos, m: encoder.apply(
-            {"params": params["encoder"]},
+        lambda f, pos, m, p: encoder.apply(
+            {"params": p},
             f, pos, m, True),
-        src, posf, mask2d)
+        src, posf, mask2d, params["encoder"])
     add("decoder+heads",
-        lambda mem, pos, qp, m: decoder.apply(
-            {"params": params["decoder"]},
+        lambda mem, pos, qp, m, p: decoder.apply(
+            {"params": p},
             jnp.zeros_like(qp), qp, mem, pos, m, True),
-        memory, posf, qpos, mask2d)
+        memory, posf, qpos, mask2d, params["decoder"])
     add("postprocess",
         lambda lg, bx: postprocess_detr(lg, bx, jnp.asarray(orig_wh), 0.5,
                                         person_class_id=cfg.person_class_id),
         logits, boxes)
 
     # Full fused program for the total + MFU.
-    jit_detect = det._jits["bgr"]
+    jit_detect = det._jits["bgr"].jitted
 
-    def full(f):
-        out = jit_detect(det.variables, f, orig_wh, 0.5)
+    def full(f, v):
+        out = jit_detect(v, f, jnp.asarray(orig_wh), jnp.float32(0.5))
         return out[0].scores
-    sec_full, _, args_full = chain_time(full, frames, iters=args.iters)
+    sec_full, _, args_full = chain_time(full, frames, det.variables,
+                                        iters=args.iters)
     fl_full = program_flops(jax.jit(full), *args_full)
     fl_full = fl_full or analytic_detr_flops(B, H, W, cfg)
 
