@@ -554,6 +554,24 @@ class TestMultiStepTrainingEvidence:
         assert h2["resumed_at_step"] == 2
         assert len(h2["step_losses"]) == 4
 
+    def test_committed_yolo_history_shows_loss_decrease(self):
+        """Same evidence for the YOLOv8 family
+        (docs/artifacts/train_yolo_8dev_history.json): 72 steps on the
+        8-device mesh, loss 16.4 -> 8.0, save/resume at step 56."""
+        import json
+        from pathlib import Path
+
+        path = (Path(__file__).resolve().parents[1]
+                / "docs" / "artifacts" / "train_yolo_8dev_history.json")
+        h = json.loads(path.read_text())
+        steps = h["step_losses"]
+        assert len(steps) >= 50
+        assert h["config"]["data_parallel"] == 8
+        first_q = float(np.mean(steps[: len(steps) // 4]))
+        last_q = float(np.mean(steps[-len(steps) // 4:]))
+        assert last_q < 0.8 * first_q, (first_q, last_q)
+        assert h.get("resumed_at_step", 0) >= 50
+
 
 class TestViTBackboneTraining:
     def test_vit_sharded_step_with_backbone_tp(self):
