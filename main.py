@@ -63,10 +63,37 @@ def main(argv: list[str] | None = None) -> int:
                 "--epochs", str(config.get("training.epochs", 10)),
                 "--batch", str(config.get("training.batch_size", 8)),
                 "--checkpoint", str(config.get("training.output_dir", "runs/detr_ft")),
+                "--height", str(config.get("training.input_height", 768)),
+                "--width", str(config.get("training.input_width", 1344)),
+                "--lr", str(config.get("training.learning_rate", 1e-4)),
+                "--model", str(config.get("training.model", "detr")),
+                "--model-parallel", str(config.get("training.model_parallel", 1)),
             ]
+            if config.get("training.model", "detr") == "yolo":
+                train_args += [
+                    "--yolo-variant", str(config.get("training.yolo_variant", "s")),
+                ]
+            if config.get("training.tiny", False):
+                train_args += ["--tiny"]
+            if config.get("training.remat", False):
+                train_args += ["--remat"]
             init = config.get("detection.checkpoint_path", None)
             if init:
                 train_args += ["--init", str(init)]
+            if config.get("training.evaluate", False):
+                train_args += [
+                    "--evaluate",
+                    "--eval-every", str(config.get("training.eval_every", 0)),
+                    "--eval-conf", str(
+                        config.get("training.eval_confidence", 0.25)
+                    ),
+                ]
+                val_images = config.get("training.val_images_dir", None)
+                val_ann = config.get("training.val_annotations", None)
+                if val_images:
+                    train_args += ["--val-images", str(val_images)]
+                if val_ann:
+                    train_args += ["--val-annotations", str(val_ann)]
             return train_main(train_args)
 
         orchestrator = PipelineOrchestrator(config, logging.getLogger("pipeline"))

@@ -573,6 +573,112 @@ class TestMultiStepTrainingEvidence:
         assert h.get("resumed_at_step", 0) >= 50
 
 
+class TestTrainEval:
+    """tools/train_detr.py --evaluate: the trainer's validation loop
+    (the reference gets this from ultralytics' built-in val,
+    reference tools/train_yolov8.py:18-40; ours scores through the
+    native DetectionBenchmark)."""
+
+    def _dataset(self, tmp_path, n=4):
+        import json
+
+        import cv2
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        images, anns, samples = [], [], []
+        for i in range(n):
+            img = np.full((96, 128, 3), 100, np.uint8)
+            x, y, w, h = 20 + 6 * i, 20, 30, 50
+            cv2.rectangle(img, (x, y), (x + w, y + h), (40, 60, 200), -1)
+            cv2.imwrite(str(img_dir / f"i{i}.jpg"), img)
+            images.append({"id": i, "file_name": f"i{i}.jpg",
+                           "width": 128, "height": 96})
+            anns.append({"id": i + 1, "image_id": i, "category_id": 1,
+                         "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+        (tmp_path / "coco.json").write_text(json.dumps(
+            {"images": images, "annotations": anns,
+             "categories": [{"id": 1, "name": "person"}]}))
+        return img_dir, tmp_path / "coco.json"
+
+    def test_evaluate_detector_detr(self, tmp_path):
+        from tools.train_detr import evaluate_detector, load_coco_dataset
+
+        img_dir, coco = self._dataset(tmp_path)
+        samples = load_coco_dataset(img_dir, coco)
+        cfg = DETRConfig.tiny(use_pallas_attention=False)
+        model, variables = init_detr(cfg, jax.random.PRNGKey(0),
+                                     input_hw=(64, 64))
+        res = evaluate_detector(
+            model, variables["params"], samples,
+            target_hw=(96, 128), cfg=cfg, batch=4, conf=0.05,
+        )
+        assert res.num_images == 4 and res.num_gt == 4
+        assert 0.0 <= res.f1 <= 1.0
+        assert res.tp + res.fn == 4
+
+    def test_evaluate_detector_yolo(self, tmp_path):
+        from office_person_detection_vit_tpu.models.yolo import (
+            YOLOConfig,
+            init_yolo,
+        )
+        from tools.train_detr import evaluate_detector, load_coco_dataset
+
+        img_dir, coco = self._dataset(tmp_path)
+        samples = load_coco_dataset(img_dir, coco)
+        cfg = YOLOConfig.tiny()
+        model, variables = init_yolo(cfg, jax.random.PRNGKey(0),
+                                     input_hw=(96, 128))
+        res = evaluate_detector(
+            model, variables["params"], samples,
+            target_hw=(96, 128), cfg=cfg, is_yolo=True, batch=4, conf=0.05,
+        )
+        assert res.num_images == 4 and res.num_gt == 4
+        assert 0.0 <= res.f1 <= 1.0
+
+    def test_committed_yolo_eval_history_shows_quality_lift(self):
+        """Committed artifact (docs/artifacts/train_yolo_eval_history.json):
+        200 steps ON THE REAL TPU v5e CHIP with --evaluate --eval-every 25
+        — detection F1 reaches 1.0 and mAP climbs from the random-init
+        baseline as the loss falls (training quality closed-loop, not just
+        loss decrease). The 8-device-mesh training evidence is the separate
+        train_yolo_8dev_history.json."""
+        import json
+        from pathlib import Path
+
+        path = (Path(__file__).resolve().parents[1]
+                / "docs" / "artifacts" / "train_yolo_eval_history.json")
+        h = json.loads(path.read_text())
+        evals = h["evals"]
+        assert len(evals) >= 4
+        assert evals[0]["epoch"] == 0  # pre-training baseline recorded
+        first, last = evals[0], evals[-1]
+        assert first["f1_score"] == 0.0
+        assert last["f1_score"] >= 0.9, last
+        assert last["map_50_95"] > first["map_50_95"]
+
+    def test_committed_detr_eval_history_shows_quality_lift(self):
+        """Same closed loop for the DETR family
+        (docs/artifacts/train_detr_eval_history.json, 400 steps on the real
+        chip): F1 and mAP rise from the epoch-0 baseline. DETR's
+        set-prediction head converges far slower than YOLO's dense head
+        (true to the paper's 500-epoch schedule), so the bar is a clear
+        lift, not saturation."""
+        import json
+        from pathlib import Path
+
+        path = (Path(__file__).resolve().parents[1]
+                / "docs" / "artifacts" / "train_detr_eval_history.json")
+        h = json.loads(path.read_text())
+        evals = h["evals"]
+        assert evals[0]["epoch"] == 0
+        first = evals[0]
+        best_f1 = max(e["f1_score"] for e in evals)
+        best_map = max(e["map_50_95"] for e in evals)
+        assert best_f1 > first["f1_score"] and best_f1 >= 0.15
+        assert best_map > first["map_50_95"] and best_map >= 0.1
+
+
 class TestViTBackboneTraining:
     def test_vit_sharded_step_with_backbone_tp(self):
         """The ViT backbone trains through the (data=4, model=2) mesh with

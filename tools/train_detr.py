@@ -43,6 +43,106 @@ def _load_pytree(path: Path, template):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+#: Working resolution the trainer resizes every frame to before the jitted
+#: letterbox (matches the pipeline's 1280x720 input contract); evaluation
+#: scores boxes in this pixel space.
+EVAL_WH = (1280, 720)
+
+
+def evaluate_detector(model, params, samples, *, target_hw, cfg,
+                      is_yolo: bool = False, batch: int = 8,
+                      conf: float = 0.25, iou: float = 0.5):
+    """Score the model on COCO samples with the framework's own
+    DetectionBenchmark (P/R/F1, AP@50/75, mAP@[.5:.95]).
+
+    The reference's trainer gets validation metrics for free from
+    ultralytics' built-in val loop (reference tools/train_yolov8.py:18-40,
+    reference output/benchmark_yolov8_ft/detection_metrics.json); here the
+    same numbers come from one jitted forward+decode per batch feeding
+    `benchmark/detection_benchmark.py`. Returns a BenchmarkResult.
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from office_person_detection_vit_tpu.benchmark.detection_benchmark import (
+        DetectionBenchmark,
+        DetectionRecord,
+    )
+    from office_person_detection_vit_tpu.ops.preprocessing import (
+        preprocess_frames,
+    )
+
+    if is_yolo:
+        from office_person_detection_vit_tpu.models.yolo import decode_yolo
+
+        def _fwd(params, frames_u8, orig_wh, conf):
+            pixels, _ = preprocess_frames(
+                frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
+            )
+            out = model.apply({"params": params}, pixels)
+            return decode_yolo(out, orig_wh, target_hw, cfg, conf)
+    else:
+        from office_person_detection_vit_tpu.models.postprocess import (
+            postprocess_detr,
+        )
+
+        def _fwd(params, frames_u8, orig_wh, conf):
+            pixels, mask = preprocess_frames(
+                frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
+            )
+            out = model.apply({"params": params}, pixels, mask)
+            return postprocess_detr(out["logits"], out["boxes"], orig_wh, conf)
+
+    fwd = jax.jit(_fwd)
+    orig_wh = jnp.asarray(EVAL_WH, jnp.float32)
+    conf_arr = jnp.float32(conf)
+
+    records: list[DetectionRecord] = []
+    for start in range(0, len(samples), batch):
+        chunk = samples[start : start + batch]
+        n = len(chunk)
+        padded = chunk + [chunk[0]] * (batch - n)  # static batch shape
+        imgs = []
+        for path, _, _ in padded:
+            img = cv2.imread(str(path))
+            if img is None:
+                img = np.zeros((720, 1280, 3), np.uint8)
+            imgs.append(cv2.resize(img, EVAL_WH))
+        out = fwd(params, jnp.asarray(np.stack(imgs)), orig_wh, conf_arr)
+        boxes = np.asarray(out.boxes_xywh)
+        scores = np.asarray(out.scores)
+        valid = np.asarray(out.valid)
+        for f in range(n):
+            name = chunk[f][0].name
+            for q in np.flatnonzero(valid[f]):
+                records.append(
+                    DetectionRecord(
+                        name,
+                        tuple(float(v) for v in boxes[f, q]),
+                        float(scores[f, q]),
+                    )
+                )
+
+    w, h = EVAL_WH
+    gt: dict[str, np.ndarray] = {}
+    for path, bxs, _ in samples:
+        if len(bxs):
+            xywh = np.stack(
+                [
+                    (bxs[:, 0] - bxs[:, 2] / 2) * w,
+                    (bxs[:, 1] - bxs[:, 3] / 2) * h,
+                    bxs[:, 2] * w,
+                    bxs[:, 3] * h,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        else:
+            xywh = np.zeros((0, 4), np.float32)
+        gt[path.name] = xywh
+    return DetectionBenchmark(iou_threshold=iou).evaluate(records, gt)
+
+
 def load_coco_dataset(images_dir: Path, annotations: Path):
     """-> list of (image_path, boxes_cxcywh_norm, labels)."""
     doc = json.loads(annotations.read_text())
@@ -97,6 +197,21 @@ def main(argv: list[str] | None = None) -> int:
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="save a checkpoint every N epochs")
+    parser.add_argument("--evaluate", action="store_true",
+                        help="score P/R/F1 + AP@50/75 + mAP on the val set "
+                             "with the native DetectionBenchmark (the "
+                             "reference trainer's ultralytics val-loop "
+                             "analog); recorded in history.json")
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="evaluate every N epochs (0 = final epoch only)")
+    parser.add_argument("--eval-conf", type=float, default=0.25,
+                        help="confidence threshold for evaluation "
+                             "(reference best_threshold 0.20-0.25)")
+    parser.add_argument("--eval-iou", type=float, default=0.5)
+    parser.add_argument("--val-images", type=Path, default=None,
+                        help="val image dir (default: --images)")
+    parser.add_argument("--val-annotations", type=Path, default=None,
+                        help="val COCO json (default: --annotations)")
     parser.add_argument("--resume-from", type=Path, default=None,
                         help="resume training from a saved train_state.npz")
     args = parser.parse_args(argv)
@@ -237,6 +352,29 @@ def main(argv: list[str] | None = None) -> int:
         state = state0
         shard_batch = lambda b: b  # noqa: E731
 
+    val_samples = samples
+    if args.val_images or args.val_annotations:
+        val_samples = load_coco_dataset(
+            args.val_images or args.images,
+            args.val_annotations or args.annotations,
+        )
+
+    def run_eval(epoch: int) -> None:
+        res = evaluate_detector(
+            model, jax.device_get(state.params), val_samples,
+            target_hw=target_hw, cfg=cfg, is_yolo=args.model == "yolo",
+            batch=min(args.batch, len(val_samples)),
+            conf=args.eval_conf, iou=args.eval_iou,
+        )
+        entry = {"epoch": epoch, **res.to_dict()}
+        history.setdefault("evals", []).append(entry)
+        logger.info(
+            "eval epoch %d: P %.3f R %.3f F1 %.3f AP50 %.3f mAP %.3f "
+            "(tp %d fp %d fn %d)",
+            epoch, res.precision, res.recall, res.f1, res.ap50,
+            res.map_5095, res.tp, res.fp, res.fn,
+        )
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
 
@@ -284,7 +422,12 @@ def main(argv: list[str] | None = None) -> int:
         prev = json.loads(history_path.read_text())
         history["step_losses"] = prev.get("step_losses", [])
         history["epoch_losses"] = prev.get("epoch_losses", [])
+        if prev.get("evals"):
+            history["evals"] = prev["evals"]
         history["resumed_at_step"] = len(history["step_losses"])
+
+    if args.evaluate:
+        run_eval(start_epoch)  # pre-training baseline (epoch = start)
 
     steps_per_epoch = max(1, len(samples) // args.batch)
     for epoch in range(start_epoch, args.epochs):
@@ -310,6 +453,11 @@ def main(argv: list[str] | None = None) -> int:
         history["epoch_losses"].append(
             float(np.mean(losses)) if losses else None
         )
+        if args.evaluate and (
+            epoch + 1 == args.epochs
+            or (args.eval_every and (epoch + 1) % args.eval_every == 0)
+        ):
+            run_eval(epoch + 1)
         args.checkpoint.mkdir(parents=True, exist_ok=True)
         history_path.write_text(json.dumps(history))
         if (epoch + 1) % args.save_every == 0:
