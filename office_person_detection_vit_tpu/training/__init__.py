@@ -1,12 +1,15 @@
 """Training stack: jittable Hungarian matcher, DETR set criterion,
 single-chip and mesh-sharded train steps."""
 
+from .augment import AugmentConfig, augment_batch, content_width
 from .criterion import CriterionConfig, detr_loss, pack_targets
 from .matcher import auction_assignment, batch_hungarian_match, hungarian_match
 from .ssd_criterion import SSDCriterionConfig, make_ssd_train_step, ssd_loss
 from .train_step import (
     TrainState,
+    apply_update,
     make_optimizer,
+    make_schedule,
     make_sharded_train_step,
     make_train_step,
 )
@@ -18,8 +21,13 @@ from .yolo_criterion import (
 )
 
 __all__ = [
+    "AugmentConfig",
     "CriterionConfig",
     "TrainState",
+    "apply_update",
+    "augment_batch",
+    "content_width",
+    "make_schedule",
     "auction_assignment",
     "batch_hungarian_match",
     "detr_loss",

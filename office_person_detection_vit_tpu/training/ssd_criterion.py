@@ -184,12 +184,12 @@ def ssd_loss(
     }
 
 
-def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None):
+def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None,
+                        ema_decay=None, augment=None):
     """Jitted (state, batch, rng) -> (state, metrics) for the single-shot
-    detector (same TrainState/batch contract as the DETR step)."""
-    import optax
-
-    from .train_step import TrainState
+    detector (same TrainState/batch contract as the DETR step, incl.
+    optional EMA + fused on-device augmentation)."""
+    from .train_step import TrainState, apply_update
 
     if config is None:
         config = SSDCriterionConfig(strides=model.config.strides)
@@ -202,14 +202,14 @@ def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None):
 
     @jax.jit
     def step(state: TrainState, batch: dict, rng):
+        if augment is not None:
+            from .augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(k_aug, batch, augment)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+        return apply_update(state, grads, tx, ema_decay), metrics
 
     return step

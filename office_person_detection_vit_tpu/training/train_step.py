@@ -37,14 +37,66 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    #: exponential moving average of params (None unless created with
+    #: ``ema=True``); evaluation/serving should prefer it when present
+    #: (the reference's ultralytics trainer keeps a ModelEMA by default).
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+    def create(
+        cls,
+        params: Any,
+        tx: optax.GradientTransformation,
+        ema: bool = False,
+    ) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
         )
+
+
+def make_schedule(
+    learning_rate: float,
+    schedule: str | None = None,
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    drop_at: int | None = None,
+    drop_factor: float = 0.1,
+):
+    """LR schedule factory.
+
+    - ``None`` -> constant (optionally linear-warmed-up).
+    - ``"cosine"`` -> linear warmup then cosine decay to 0 over
+      ``total_steps`` (the ultralytics-style recipe).
+    - ``"step"`` -> constant with a x``drop_factor`` drop at ``drop_at``
+      (the DETR paper recipe: drop 10x at epoch 200/300).
+    """
+    if schedule == "cosine":
+        if total_steps is None:
+            raise ValueError("cosine schedule requires total_steps")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else learning_rate,
+            peak_value=learning_rate,
+            warmup_steps=max(1, warmup_steps),
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    if schedule == "step":
+        if drop_at is None:
+            raise ValueError("step schedule requires drop_at")
+        sched = optax.piecewise_constant_schedule(
+            learning_rate, {int(drop_at): drop_factor}
+        )
+    elif schedule in (None, "none", "constant"):
+        sched = learning_rate
+    else:
+        raise ValueError(f"unknown schedule: {schedule}")
+    if warmup_steps:
+        warm = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        base = sched if callable(sched) else (lambda _v: (lambda s: _v))(sched)
+        return optax.join_schedules([warm, base], [warmup_steps])
+    return sched
 
 
 def make_optimizer(
@@ -52,8 +104,21 @@ def make_optimizer(
     backbone_lr: float = 1e-5,
     weight_decay: float = 1e-4,
     max_grad_norm: float = 0.1,
+    schedule: str | None = None,
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+    drop_at: int | None = None,
+    drop_factor: float = 0.1,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW with the DETR recipe: 10x lower backbone LR, grad clipping."""
+    """AdamW with the DETR recipe: 10x lower backbone LR, grad clipping.
+
+    ``schedule`` (see :func:`make_schedule`) applies to both groups with
+    the backbone scaled by ``backbone_lr/learning_rate``. ``accum_steps>1``
+    wraps the chain in ``optax.MultiSteps`` — gradients accumulate for k
+    micro-batches and the update applies on the k-th (large effective
+    batch on one chip; jit-native, no host logic).
+    """
 
     def lr_for(path, _leaf):
         is_backbone = any(
@@ -64,15 +129,51 @@ def make_optimizer(
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(lr_for, params)
 
-    return optax.chain(
+    sched_args = dict(
+        schedule=schedule, total_steps=total_steps,
+        warmup_steps=warmup_steps, drop_at=drop_at, drop_factor=drop_factor,
+    )
+    tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.multi_transform(
             {
-                "main": optax.adamw(learning_rate, weight_decay=weight_decay),
-                "backbone": optax.adamw(backbone_lr, weight_decay=weight_decay),
+                "main": optax.adamw(
+                    make_schedule(learning_rate, **sched_args),
+                    weight_decay=weight_decay,
+                ),
+                "backbone": optax.adamw(
+                    make_schedule(backbone_lr, **sched_args),
+                    weight_decay=weight_decay,
+                ),
             },
             label_fn,
         ),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def apply_update(
+    state: TrainState,
+    grads: Any,
+    tx: optax.GradientTransformation,
+    ema_decay: float | None = None,
+) -> TrainState:
+    """Optimizer update + optional EMA track — shared by every family's
+    train step. With ``optax.MultiSteps`` accumulation the params are
+    unchanged on micro-steps, so the EMA (which tracks params, not
+    updates) is unaffected by accumulation."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = state.ema_params
+    if ema_decay is not None and ema is not None:
+        d = jnp.asarray(ema_decay, jnp.float32)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: (e * d + (1.0 - d) * p.astype(e.dtype)), ema, params
+        )
+    return TrainState(
+        step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
     )
 
 
@@ -134,8 +235,15 @@ def make_train_step(
     criterion: CriterionConfig | None = None,
     aux_loss: bool = True,
     donate_state: bool = True,
+    ema_decay: float | None = None,
+    augment: "AugmentConfig | None" = None,
 ) -> Callable:
-    """Jitted (state, batch, rng) -> (state, metrics) on the default device."""
+    """Jitted (state, batch, rng) -> (state, metrics) on the default device.
+
+    ``ema_decay`` requires a state created with ``TrainState.create(...,
+    ema=True)``. ``augment`` fuses on-device augmentation (training/
+    augment.py) into the step.
+    """
     if criterion is None:
         criterion = CriterionConfig(num_classes=model.config.num_classes)
 
@@ -143,18 +251,18 @@ def make_train_step(
         jax.jit, donate_argnums=_donate_argnums() if donate_state else ()
     )
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        if augment is not None:
+            from .augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(k_aug, batch, augment)
         (_, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, model, criterion,
             batch["pixels"], batch["pixel_mask"],
             batch["labels"], batch["boxes"], batch["valid"],
             rng, aux_loss,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+        return apply_update(state, grads, tx, ema_decay), metrics
 
     return train_step
 
@@ -166,6 +274,8 @@ def make_sharded_train_step(
     params_template: Any,
     criterion: CriterionConfig | None = None,
     aux_loss: bool = True,
+    ema_decay: float | None = None,
+    augment: "AugmentConfig | None" = None,
 ) -> Callable:
     """The same step jitted over the (data, model) mesh.
 
@@ -178,7 +288,11 @@ def make_sharded_train_step(
 
     pspecs = param_specs(params_template)
     opt_state_specs = _opt_state_specs(tx, params_template, pspecs)
-    state_specs = TrainState(step=P(), params=pspecs, opt_state=opt_state_specs)
+    state_specs = TrainState(
+        step=P(), params=pspecs, opt_state=opt_state_specs,
+        # EMA params shard exactly like params (present only when enabled).
+        ema_params=pspecs if ema_decay is not None else None,
+    )
 
     batch_specs = {
         "pixels": P(DATA_AXIS),
@@ -194,18 +308,18 @@ def make_sharded_train_step(
         )
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        if augment is not None:
+            from .augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(k_aug, batch, augment)
         (_, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, model, criterion,
             batch["pixels"], batch["pixel_mask"],
             batch["labels"], batch["boxes"], batch["valid"],
             rng, aux_loss,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+        return apply_update(state, grads, tx, ema_decay), metrics
 
     jitted = jax.jit(
         step_fn,

@@ -203,12 +203,12 @@ def _make_loss_fn(model, input_hw, config):
     return loss_fn
 
 
-def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None):
+def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None,
+                         ema_decay=None, augment=None):
     """Jitted (state, batch, rng) -> (state, metrics) — same contract as
-    make_ssd_train_step / the DETR step."""
-    import optax
-
-    from .train_step import TrainState
+    make_ssd_train_step / the DETR step (incl. optional EMA + fused
+    on-device augmentation)."""
+    from .train_step import TrainState, apply_update
 
     if config is None:
         config = YOLOCriterionConfig(
@@ -218,21 +218,22 @@ def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None):
 
     @jax.jit
     def step(state: TrainState, batch: dict, rng):
+        if augment is not None:
+            from .augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(k_aug, batch, augment)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+        return apply_update(state, grads, tx, ema_decay), metrics
 
     return step
 
 
 def make_yolo_sharded_train_step(model, tx, mesh, params_template,
-                                 input_hw: tuple[int, int], config=None):
+                                 input_hw: tuple[int, int], config=None,
+                                 ema_decay=None, augment=None):
     """The same step jitted over the device mesh — pure data parallelism
     (the conv param tree matches no TP rule, so parallel/sharding.py
     replicates it; GSPMD derives the gradient all-reduce over ``data``
@@ -240,12 +241,16 @@ def make_yolo_sharded_train_step(model, tx, mesh, params_template,
     ``.shard_batch`` like make_sharded_train_step."""
     from functools import partial
 
-    import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS
     from ..parallel.sharding import param_specs
-    from .train_step import TrainState, _donate_argnums, _opt_state_specs
+    from .train_step import (
+        TrainState,
+        _donate_argnums,
+        _opt_state_specs,
+        apply_update,
+    )
 
     if config is None:
         config = YOLOCriterionConfig(
@@ -255,7 +260,10 @@ def make_yolo_sharded_train_step(model, tx, mesh, params_template,
 
     pspecs = param_specs(params_template)
     opt_specs = _opt_state_specs(tx, params_template, pspecs)
-    state_specs = TrainState(step=P(), params=pspecs, opt_state=opt_specs)
+    state_specs = TrainState(
+        step=P(), params=pspecs, opt_state=opt_specs,
+        ema_params=pspecs if ema_decay is not None else None,
+    )
     batch_specs = {
         "pixels": P(DATA_AXIS),
         "labels": P(DATA_AXIS),
@@ -269,15 +277,15 @@ def make_yolo_sharded_train_step(model, tx, mesh, params_template,
         )
 
     def step_fn(state: TrainState, batch: dict, rng):
+        if augment is not None:
+            from .augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(k_aug, batch, augment)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            metrics,
-        )
+        return apply_update(state, grads, tx, ema_decay), metrics
 
     jitted = jax.jit(
         step_fn,

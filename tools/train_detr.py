@@ -197,6 +197,26 @@ def main(argv: list[str] | None = None) -> int:
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="save a checkpoint every N epochs")
+    parser.add_argument("--schedule", choices=["none", "cosine", "step"],
+                        default="none",
+                        help="LR schedule: cosine (warmup + cosine decay, "
+                             "the ultralytics-style recipe) or step (10x "
+                             "drop at --drop-at, the DETR paper recipe)")
+    parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--drop-at", type=int, default=None,
+                        help="step at which --schedule step drops the LR")
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation micro-steps per update "
+                             "(optax.MultiSteps; large effective batch on "
+                             "one chip)")
+    parser.add_argument("--ema", type=float, default=0.0,
+                        help="EMA decay for a weight average (e.g. 0.999; "
+                             "0 = off). Eval and the final weights.npz use "
+                             "the EMA weights — the ultralytics ModelEMA "
+                             "analog")
+    parser.add_argument("--augment", action="store_true",
+                        help="fused on-device augmentation (hflip + "
+                             "photometric, training/augment.py)")
     parser.add_argument("--evaluate", action="store_true",
                         help="score P/R/F1 + AP@50/75 + mAP on the val set "
                              "with the native DetectionBenchmark (the "
@@ -279,9 +299,10 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 logger.warning("--init %s not found; training from random init",
                                args.init)
-        make_single = lambda m, t: make_yolo_train_step(m, t, target_hw)  # noqa: E731
-        make_sharded = lambda m, t, mesh, p: make_yolo_sharded_train_step(  # noqa: E731
-            m, t, mesh, p, target_hw)
+        make_single = lambda m, t, **kw: make_yolo_train_step(  # noqa: E731
+            m, t, target_hw, **kw)
+        make_sharded = lambda m, t, mesh, p, **kw: make_yolo_sharded_train_step(  # noqa: E731
+            m, t, mesh, p, target_hw, **kw)
     else:
         make_single = make_train_step
         make_sharded = make_sharded_train_step
@@ -323,8 +344,31 @@ def main(argv: list[str] | None = None) -> int:
                                args.init)
     params = variables["params"]
 
-    tx = make_optimizer(learning_rate=args.lr, backbone_lr=args.lr / 10)
-    state0 = TrainState.create(params, tx)
+    steps_per_epoch = max(1, len(samples) // args.batch)
+    tx = make_optimizer(
+        learning_rate=args.lr,
+        backbone_lr=args.lr / 10,
+        schedule=None if args.schedule == "none" else args.schedule,
+        total_steps=args.epochs * steps_per_epoch,
+        warmup_steps=args.warmup_steps,
+        drop_at=args.drop_at,
+        accum_steps=args.accum_steps,
+    )
+    use_ema = args.ema > 0
+    state0 = TrainState.create(params, tx, ema=use_ema)
+
+    from office_person_detection_vit_tpu.training import (
+        AugmentConfig,
+        content_width,
+    )
+
+    aug_cfg = (
+        AugmentConfig(content_w=content_width(target_hw))
+        if args.augment else None
+    )
+    step_kwargs = dict(
+        ema_decay=args.ema if use_ema else None, augment=aug_cfg,
+    )
     start_epoch = 0
     if args.resume_from and args.resume_from.exists():
         state0 = _load_pytree(args.resume_from, state0)
@@ -339,7 +383,7 @@ def main(argv: list[str] | None = None) -> int:
     data_parallel = n_dev // args.model_parallel
     if n_dev > 1 and args.batch % max(data_parallel, 1) == 0:
         mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
-        step = make_sharded(model, tx, mesh, params)
+        step = make_sharded(model, tx, mesh, params, **step_kwargs)
         state = step.shard_state(state0)
         shard_batch = step.shard_batch
     else:
@@ -348,7 +392,7 @@ def main(argv: list[str] | None = None) -> int:
                 "batch %d not divisible by data axis %d; single-device step",
                 args.batch, data_parallel,
             )
-        step = make_single(model, tx)
+        step = make_single(model, tx, **step_kwargs)
         state = state0
         shard_batch = lambda b: b  # noqa: E731
 
@@ -359,9 +403,15 @@ def main(argv: list[str] | None = None) -> int:
             args.val_annotations or args.annotations,
         )
 
+    def eval_params():
+        """EMA weights when tracked (the served/exported weights), else raw."""
+        p = state.ema_params if use_ema and state.ema_params is not None \
+            else state.params
+        return jax.device_get(p)
+
     def run_eval(epoch: int) -> None:
         res = evaluate_detector(
-            model, jax.device_get(state.params), val_samples,
+            model, eval_params(), val_samples,
             target_hw=target_hw, cfg=cfg, is_yolo=args.model == "yolo",
             batch=min(args.batch, len(val_samples)),
             conf=args.eval_conf, iou=args.eval_iou,
@@ -417,6 +467,9 @@ def main(argv: list[str] | None = None) -> int:
         "batch": args.batch, "lr": args.lr, "devices": n_dev,
         "data_parallel": int(max(data_parallel, 1)),
         "model_parallel": args.model_parallel, "tiny": args.tiny,
+        "schedule": args.schedule, "warmup_steps": args.warmup_steps,
+        "accum_steps": args.accum_steps, "ema": args.ema,
+        "augment": bool(args.augment),
     }}
     if args.resume_from and history_path.exists():
         prev = json.loads(history_path.read_text())
@@ -429,7 +482,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.evaluate:
         run_eval(start_epoch)  # pre-training baseline (epoch = start)
 
-    steps_per_epoch = max(1, len(samples) // args.batch)
     for epoch in range(start_epoch, args.epochs):
         order = rng.permutation(len(samples))
         t0 = time.perf_counter()
@@ -465,8 +517,10 @@ def main(argv: list[str] | None = None) -> int:
 
     args.checkpoint.mkdir(parents=True, exist_ok=True)
     ckpt_path = args.checkpoint / "weights.npz"
-    _save_pytree(ckpt_path, {"params": jax.device_get(state.params)})
-    logger.info("saved checkpoint -> %s", ckpt_path)
+    _save_pytree(ckpt_path, {"params": eval_params() if use_ema
+                             else jax.device_get(state.params)})
+    logger.info("saved checkpoint -> %s%s", ckpt_path,
+                " (EMA weights)" if use_ema else "")
     return 0
 
 
