@@ -832,6 +832,35 @@ class TestTrainEval:
         assert best_f1 > first["f1_score"] and best_f1 >= 0.15
         assert best_map > first["map_50_95"] and best_map >= 0.1
 
+    def test_committed_recipe_comparison_shows_generalization_gain(self):
+        """Controlled comparison on the real chip
+        (docs/artifacts/train_recipe_compare_{plain,recipe}.json): same
+        synthetic data / steps / lr, the val set distribution-shifted
+        (mirrored objects + out-of-range global gain) so plain training
+        cannot cover it. The full recipe (--schedule cosine
+        --warmup-steps 10 --ema 0.99 --augment) must beat plain on final
+        F1 / AP50 / mAP and avoid plain's early-lr divergence (provenance:
+        docs/training.md recipe-comparison section)."""
+        import json
+        from pathlib import Path
+
+        arts = Path(__file__).resolve().parents[1] / "docs" / "artifacts"
+        plain = json.loads((arts / "train_recipe_compare_plain.json").read_text())
+        recipe = json.loads((arts / "train_recipe_compare_recipe.json").read_text())
+        assert plain["config"]["augment"] is False
+        assert plain["config"]["schedule"] == "none"
+        assert recipe["config"]["augment"] is True
+        assert recipe["config"]["schedule"] == "cosine"
+        assert recipe["config"]["ema"] > 0
+        p_last, r_last = plain["evals"][-1], recipe["evals"][-1]
+        assert p_last["num_images"] == r_last["num_images"] == 16
+        for k in ("f1_score", "ap_50", "map_50_95"):
+            assert r_last[k] > p_last[k], (k, r_last[k], p_last[k])
+        assert r_last["f1_score"] >= 0.9
+        # Plain at lr 3e-3 with no warmup diverged mid-run (loss spike
+        # ~1e5) before recovering; the recipe's worst epoch is ~10x tamer.
+        assert max(plain["epoch_losses"]) > 5 * max(recipe["epoch_losses"])
+
 
 class TestViTBackboneTraining:
     def test_vit_sharded_step_with_backbone_tp(self):
