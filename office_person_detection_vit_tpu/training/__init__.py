@@ -3,6 +3,7 @@ single-chip and mesh-sharded train steps."""
 
 from .augment import AugmentConfig, augment_batch, content_width
 from .criterion import CriterionConfig, detr_loss, pack_targets
+from .data import COCOBatchLoader, FrameCache, pack_targets_np
 from .matcher import auction_assignment, batch_hungarian_match, hungarian_match
 from .ssd_criterion import SSDCriterionConfig, make_ssd_train_step, ssd_loss
 from .train_step import (
@@ -22,7 +23,10 @@ from .yolo_criterion import (
 
 __all__ = [
     "AugmentConfig",
+    "COCOBatchLoader",
     "CriterionConfig",
+    "FrameCache",
+    "pack_targets_np",
     "TrainState",
     "apply_update",
     "augment_batch",

@@ -885,3 +885,101 @@ class TestViTBackboneTraining:
         state2, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
         assert int(state2.step) == 1
+
+
+class TestCOCOBatchLoader:
+    """training/data.py — the trainer's input pipeline (decode-once LRU
+    cache + background prefetch), the analog of the torch DataLoader the
+    reference's trainer inherits from ultralytics (reference
+    tools/train_yolov8.py:18-40, workers=8)."""
+
+    def _samples(self, tmp_path, n=6, wh=(64, 48)):
+        import cv2
+
+        samples = []
+        for i in range(n):
+            img = np.full((wh[1], wh[0], 3), 10 * i, np.uint8)
+            p = tmp_path / f"s{i}.png"
+            cv2.imwrite(str(p), img)
+            samples.append(
+                (p, np.asarray([[0.5, 0.5, 0.2, 0.2 + 0.01 * i]], np.float32),
+                 [1]),
+            )
+        return samples
+
+    def test_yields_full_epoch_and_drops_ragged_tail(self, tmp_path):
+        from office_person_detection_vit_tpu.training import COCOBatchLoader
+
+        loader = COCOBatchLoader(self._samples(tmp_path, n=7), 2,
+                                 capacity=3, resize_wh=(64, 48))
+        batches = list(loader.epoch(0))
+        assert loader.steps_per_epoch == 3 and len(batches) == 3  # 7 -> 3x2
+        b = batches[0]
+        assert b["frames_u8"].shape == (2, 48, 64, 3)
+        assert b["frames_u8"].dtype == np.uint8
+        assert b["labels"].shape == (2, 3)
+        assert b["boxes"].shape == (2, 3, 4)
+        assert b["valid"].sum(axis=1).tolist() == [1, 1]
+
+    def test_epoch_order_deterministic_and_shuffled(self, tmp_path):
+        from office_person_detection_vit_tpu.training import COCOBatchLoader
+
+        samples = self._samples(tmp_path, n=8)
+        mk = lambda: COCOBatchLoader(samples, 2, capacity=2,  # noqa: E731
+                                     resize_wh=(64, 48), seed=3)
+        sig = lambda bs: [b["boxes"][..., 3].round(4).tolist()  # noqa: E731
+                          for b in bs]
+        e0a, e0b = sig(mk().epoch(0)), sig(mk().epoch(0))
+        e1 = sig(mk().epoch(1))
+        assert e0a == e0b  # resume at epoch e replays the same order
+        assert e0a != e1   # different epochs reshuffle
+
+    def test_cache_decodes_each_image_once(self, tmp_path):
+        from office_person_detection_vit_tpu.training import COCOBatchLoader
+
+        loader = COCOBatchLoader(self._samples(tmp_path, n=4), 2,
+                                 capacity=2, resize_wh=(64, 48))
+        for e in range(3):
+            for _ in loader.epoch(e):
+                pass
+        assert loader.cache.misses == 4
+        assert loader.cache.hits == 8  # 2 further epochs x 4 images
+
+    def test_cache_lru_bound(self, tmp_path):
+        from office_person_detection_vit_tpu.training import FrameCache
+
+        cache = FrameCache(resize_wh=(64, 48),
+                           limit_bytes=2 * 64 * 48 * 3)  # 2 frames
+        samples = self._samples(tmp_path, n=3)
+        for p, _, _ in samples:
+            cache.get(p)
+        assert cache.misses == 3 and cache._bytes <= cache.limit_bytes
+        cache.get(samples[2][0])  # newest is still resident
+        assert cache.hits == 1
+        cache.get(samples[0][0])  # oldest was evicted
+        assert cache.misses == 4
+
+    def test_pack_targets_np_matches_device_pack(self):
+        from office_person_detection_vit_tpu.training import (
+            pack_targets,
+            pack_targets_np,
+        )
+
+        boxes = [np.random.rand(2, 4).astype(np.float32),
+                 np.zeros((0, 4), np.float32),
+                 np.random.rand(5, 4).astype(np.float32)]  # > capacity
+        labels = [[1, 2], [], [1, 1, 2, 2, 1]]
+        ln, bn, vn = pack_targets_np(boxes, labels, capacity=3)
+        ld, bd, vd = pack_targets(boxes, labels, capacity=3)
+        np.testing.assert_array_equal(ln, np.asarray(ld))
+        np.testing.assert_allclose(bn, np.asarray(bd))
+        np.testing.assert_array_equal(vn, np.asarray(vd))
+
+    def test_producer_error_surfaces(self, tmp_path):
+        from office_person_detection_vit_tpu.training import COCOBatchLoader
+
+        samples = self._samples(tmp_path, n=4)
+        loader = COCOBatchLoader(samples, 2, capacity=2, resize_wh=(64, 48))
+        loader._build = None  # force the producer to die
+        with pytest.raises(RuntimeError, match="producer died early"):
+            list(loader.epoch(0))

@@ -238,7 +238,6 @@ def main(argv: list[str] | None = None) -> int:
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-    import cv2
     import jax
     import jax.numpy as jnp
 
@@ -250,8 +249,8 @@ def main(argv: list[str] | None = None) -> int:
         make_optimizer,
         make_sharded_train_step,
         make_train_step,
-        pack_targets,
     )
+    from office_person_detection_vit_tpu.training.data import COCOBatchLoader
 
     samples = load_coco_dataset(args.images, args.annotations)
     if not samples:
@@ -425,31 +424,25 @@ def main(argv: list[str] | None = None) -> int:
             res.map_5095, res.tp, res.fp, res.fn,
         )
 
-    rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
 
-    def make_batch(batch_samples):
-        frames = []
-        for path, _, _ in batch_samples:
-            img = cv2.imread(str(path))
-            if img is None:
-                logger.warning("unreadable image %s; substituting blank", path)
-                img = np.zeros((720, 1280, 3), np.uint8)
-            frames.append(cv2.resize(img, (1280, 720)))
-        frames_u8 = jnp.asarray(np.stack(frames))
-        pixels, mask = preprocess_frames(frames_u8, target_hw=target_hw,
-                                         out_dtype=cfg.jnp_dtype)
-        labels, boxes, valid = pack_targets(
-            [s[1] for s in batch_samples],
-            [s[2] for s in batch_samples],
-            capacity=args.max_targets,
+    # Input pipeline: decode-once LRU frame cache + a background producer
+    # assembling the next batches while the device runs the current step
+    # (training/data.py — the ultralytics-DataLoader analog).
+    loader = COCOBatchLoader(samples, args.batch, capacity=args.max_targets,
+                             seed=0, depth=2)
+
+    def to_device(host_batch: dict) -> dict:
+        pixels, mask = preprocess_frames(
+            jnp.asarray(host_batch["frames_u8"]), target_hw=target_hw,
+            out_dtype=cfg.jnp_dtype,
         )
         batch = {
             "pixels": pixels,
             "pixel_mask": mask,
-            "labels": labels,
-            "boxes": boxes,
-            "valid": valid,
+            "labels": jnp.asarray(host_batch["labels"]),
+            "boxes": jnp.asarray(host_batch["boxes"]),
+            "valid": jnp.asarray(host_batch["valid"]),
         }
         if args.model == "yolo":  # no mask input; keep batch == shard specs
             del batch["pixel_mask"]
@@ -483,14 +476,10 @@ def main(argv: list[str] | None = None) -> int:
         run_eval(start_epoch)  # pre-training baseline (epoch = start)
 
     for epoch in range(start_epoch, args.epochs):
-        order = rng.permutation(len(samples))
         t0 = time.perf_counter()
         losses = []  # device scalars; fetched once per epoch so async
-        for i in range(steps_per_epoch):  # dispatch overlaps data loading
-            idx = order[i * args.batch : (i + 1) * args.batch]
-            if len(idx) < args.batch:  # static shapes: drop ragged tail
-                break
-            batch = shard_batch(make_batch([samples[j] for j in idx]))
+        for host_batch in loader.epoch(epoch):  # prefetch overlaps compute
+            batch = shard_batch(to_device(host_batch))
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             losses.append(metrics["loss"])
