@@ -26,17 +26,15 @@ inline path).
 from __future__ import annotations
 
 import logging
-import queue
-import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Iterator, Sequence
 
 import numpy as np
 
-logger = logging.getLogger(__name__)
+from ..video.prefetch import prefetch_iter
 
-_SENTINEL = object()
+logger = logging.getLogger(__name__)
 
 
 def pack_targets_np(
@@ -83,10 +81,13 @@ class FrameCache:
 
         img = cv2.imread(key)
         if img is None:
+            # NOT cached: a transient decode failure is retried next epoch
+            # (the blank substitute must never become permanent training
+            # signal against real GT boxes).
             logger.warning("unreadable image %s; substituting blank", path)
             w, h = self.resize_wh
-            img = np.zeros((h, w, 3), np.uint8)
-        elif (img.shape[1], img.shape[0]) != self.resize_wh:
+            return np.zeros((h, w, 3), np.uint8)
+        if (img.shape[1], img.shape[0]) != self.resize_wh:
             img = cv2.resize(img, self.resize_wh)
         self._store[key] = img
         self._bytes += img.nbytes
@@ -138,43 +139,16 @@ class COCOBatchLoader:
                 "boxes": boxes, "valid": valid}
 
     def epoch(self, epoch_idx: int) -> Iterator[dict]:
-        """Prefetching iterator over epoch ``epoch_idx``'s shuffled batches."""
+        """Prefetching iterator over epoch ``epoch_idx``'s shuffled batches
+        (producer exceptions re-raise here; early exit is deadlock-free —
+        see video/prefetch.py::prefetch_iter, the shared harness)."""
         order = np.random.default_rng((self.seed, epoch_idx)).permutation(
             len(self.samples)
         )
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
-        stop = threading.Event()
 
-        def producer() -> None:
-            try:
-                for i in range(self.steps_per_epoch):
-                    if stop.is_set():
-                        break
-                    idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-                    q.put(self._build(idx))
-            except Exception:  # surfaced by the consumer re-raise below
-                logger.exception("batch producer failed")
-            finally:
-                q.put(_SENTINEL)
+        def batches() -> Iterator[dict]:
+            for i in range(self.steps_per_epoch):
+                idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+                yield self._build(idx)
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        produced = 0
-        try:
-            while True:
-                item = q.get()
-                if item is _SENTINEL:
-                    if produced != self.steps_per_epoch:
-                        raise RuntimeError("batch producer died early "
-                                           f"({produced}/{self.steps_per_epoch})")
-                    break
-                produced += 1
-                yield item
-        finally:
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
-            thread.join(timeout=5)
+        yield from prefetch_iter(batches(), depth=self.depth)

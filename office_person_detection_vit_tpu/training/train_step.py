@@ -72,6 +72,11 @@ def make_schedule(
       ``total_steps`` (the ultralytics-style recipe).
     - ``"step"`` -> constant with a x``drop_factor`` drop at ``drop_at``
       (the DETR paper recipe: drop 10x at epoch 200/300).
+
+    All counts (``total_steps``, ``warmup_steps``, ``drop_at``) are in the
+    same units the schedule is stepped in — global steps, including
+    during warmup (the drop of a warmed-up "step" schedule fires at
+    global step ``drop_at``, not ``warmup_steps + drop_at``).
     """
     if schedule == "cosine":
         if total_steps is None:
@@ -85,8 +90,12 @@ def make_schedule(
     if schedule == "step":
         if drop_at is None:
             raise ValueError("step schedule requires drop_at")
+        if warmup_steps and drop_at <= warmup_steps:
+            raise ValueError("drop_at must exceed warmup_steps")
+        # join_schedules passes (step - warmup_steps) to this schedule, so
+        # shift the boundary to keep drop_at in global-step units.
         sched = optax.piecewise_constant_schedule(
-            learning_rate, {int(drop_at): drop_factor}
+            learning_rate, {int(drop_at) - warmup_steps: drop_factor}
         )
     elif schedule in (None, "none", "constant"):
         sched = learning_rate
@@ -118,6 +127,12 @@ def make_optimizer(
     wraps the chain in ``optax.MultiSteps`` — gradients accumulate for k
     micro-batches and the update applies on the k-th (large effective
     batch on one chip; jit-native, no host logic).
+
+    Schedule counts (``total_steps``/``warmup_steps``/``drop_at``) are in
+    MICRO-steps — the steps the training loop actually takes. MultiSteps
+    advances the inner schedule only on applied updates, so the counts are
+    converted to applied-update units here; callers keep one unit
+    regardless of accumulation.
     """
 
     def lr_for(path, _leaf):
@@ -129,9 +144,15 @@ def make_optimizer(
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(lr_for, params)
 
+    def _applied(n):  # micro-step count -> applied-update count
+        return None if n is None else max(1, round(n / accum_steps))
+
     sched_args = dict(
-        schedule=schedule, total_steps=total_steps,
-        warmup_steps=warmup_steps, drop_at=drop_at, drop_factor=drop_factor,
+        schedule=schedule,
+        total_steps=_applied(total_steps),
+        warmup_steps=_applied(warmup_steps) if warmup_steps else 0,
+        drop_at=_applied(drop_at),
+        drop_factor=drop_factor,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
@@ -161,14 +182,18 @@ def apply_update(
     ema_decay: float | None = None,
 ) -> TrainState:
     """Optimizer update + optional EMA track — shared by every family's
-    train step. With ``optax.MultiSteps`` accumulation the params are
-    unchanged on micro-steps, so the EMA (which tracks params, not
-    updates) is unaffected by accumulation."""
+    train step. Under ``optax.MultiSteps`` accumulation the EMA advances
+    only on APPLIED updates (detected from ``mini_step`` wrapping to 0),
+    so ``ema_decay`` means decay-per-update regardless of ``accum_steps``
+    — micro-steps leave both params and EMA untouched."""
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     ema = state.ema_params
     if ema_decay is not None and ema is not None:
         d = jnp.asarray(ema_decay, jnp.float32)
+        mini_step = getattr(opt_state, "mini_step", None)
+        if mini_step is not None:  # MultiSteps: decay 1.0 on micro-steps
+            d = jnp.where(mini_step == 0, d, 1.0)
         ema = jax.tree_util.tree_map(
             lambda e, p: (e * d + (1.0 - d) * p.astype(e.dtype)), ema, params
         )

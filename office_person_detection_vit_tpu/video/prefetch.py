@@ -5,10 +5,18 @@ detector saturated while host threads do video seek/decode and OCR. The
 reference has no such component (per-frame synchronous decode+transfer,
 SURVEY.md §3.1); this is the TPU-native replacement.
 
-``PrefetchLoader`` decodes frame batches on a background thread pool into a
-bounded queue (double/triple buffering); the consumer pops ready uint8
-batches and hands them to the jitted preprocess+detect program, overlapping
-host I/O with device compute.
+Two layers:
+
+- :func:`prefetch_iter` — the generic harness: consume any iterable on a
+  background thread through a bounded queue, re-raising producer
+  exceptions at the consumer. Deadlock-free at any depth — the producer's
+  puts poll a stop event, so abandoning the iterator mid-stream can never
+  leave the thread blocked. Shared by the video loader below and the
+  training batch loader (training/data.py).
+- :class:`PrefetchLoader` — decodes frame batches into the queue
+  (double/triple buffering); the consumer pops ready uint8 batches and
+  hands them to the jitted preprocess+detect program, overlapping host
+  I/O with device compute.
 """
 
 from __future__ import annotations
@@ -16,13 +24,68 @@ from __future__ import annotations
 import logging
 import queue
 import threading
-from typing import Callable, Iterator, Sequence
+import time
+from typing import Callable, Iterable, Iterator, Sequence
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
 _SENTINEL = object()
+
+
+def prefetch_iter(iterable: Iterable, depth: int = 2,
+                  join_timeout: float = 5.0) -> Iterator:
+    """Yield ``iterable``'s items, produced on a background thread through
+    a ``depth``-bounded queue.
+
+    A producer exception is re-raised at the consumer when reached. Early
+    consumer exit (break / generator close) stops the producer promptly:
+    every producer put polls the stop event, so no queue size can strand
+    the thread on a blocking ``put``.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    err: list[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer() -> None:
+        try:
+            for item in iterable:
+                if not _put(item):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            err.append(e)
+        finally:
+            _put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        deadline = time.monotonic() + join_timeout
+        while thread.is_alive() and time.monotonic() < deadline:
+            try:  # free slots so a pending put can observe the stop event
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=0.05)
 
 
 class PrefetchLoader:
@@ -44,8 +107,7 @@ class PrefetchLoader:
         self.fetch_fn = fetch_fn
         self.iter_fn = iter_fn
         self.batch_size = int(batch_size)
-        self.queue: queue.Queue = queue.Queue(maxsize=depth)
-        self._thread: threading.Thread | None = None
+        self.depth = int(depth)
         self._stop = threading.Event()
 
     # ------------------------------------------------------------- producer
@@ -60,44 +122,24 @@ class PrefetchLoader:
                 continue
             yield fn, frame
 
-    def _producer(self) -> None:
+    def _batches(self) -> Iterator[tuple[list[int], np.ndarray]]:
         batch_frames: list[np.ndarray] = []
         batch_numbers: list[int] = []
-        try:
-            for fn, frame in self._pairs():
-                if self._stop.is_set():
-                    break
-                batch_frames.append(frame)
-                batch_numbers.append(fn)
-                if len(batch_frames) == self.batch_size:
-                    self.queue.put((batch_numbers, np.stack(batch_frames)))
-                    batch_frames, batch_numbers = [], []
-            if batch_frames and not self._stop.is_set():
-                self.queue.put((batch_numbers, np.stack(batch_frames)))
-        finally:
-            self.queue.put(_SENTINEL)
+        for fn, frame in self._pairs():
+            if self._stop.is_set():
+                return
+            batch_frames.append(frame)
+            batch_numbers.append(fn)
+            if len(batch_frames) == self.batch_size:
+                yield batch_numbers, np.stack(batch_frames)
+                batch_frames, batch_numbers = [], []
+        if batch_frames:
+            yield batch_numbers, np.stack(batch_frames)
 
     # ------------------------------------------------------------- consumer
     def __iter__(self) -> Iterator[tuple[list[int], np.ndarray]]:
         self._stop.clear()
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
-        try:
-            while True:
-                item = self.queue.get()
-                if item is _SENTINEL:
-                    break
-                yield item
-        finally:
-            self._stop.set()
-            # Drain so the producer can exit if blocked on put().
-            try:
-                while True:
-                    self.queue.get_nowait()
-            except queue.Empty:
-                pass
-            if self._thread is not None:
-                self._thread.join(timeout=5)
+        yield from prefetch_iter(self._batches(), depth=self.depth)
 
     def close(self) -> None:
         self._stop.set()

@@ -639,6 +639,71 @@ class TestTrainerUpgrades:
         s2 = apply_update(s1, g, tx)
         assert float(jnp.abs(s2.params["head"]["w"]).sum()) > 0  # applied
 
+    def test_schedule_counts_are_micro_steps_under_accumulation(self):
+        """make_optimizer's schedule knobs are in loop (micro) steps;
+        MultiSteps advances the inner schedule per APPLIED update, so the
+        counts are converted internally. With cosine over total_steps=8
+        micro-steps at accum=2, the 4th applied update must land near the
+        end of the decay (tiny), not 3/8ths in."""
+        from office_person_detection_vit_tpu.training import (
+            TrainState,
+            apply_update,
+            make_optimizer,
+        )
+
+        params = {"head": {"w": jnp.zeros(4)}}
+        tx = make_optimizer(learning_rate=0.1, schedule="cosine",
+                            total_steps=8, accum_steps=2)
+        state = TrainState.create(params, tx)
+        g = {"head": {"w": jnp.ones(4)}}
+        deltas = []
+        prev = np.zeros(4)
+        for _ in range(8):
+            state = apply_update(state, g, tx)
+            cur = np.asarray(state.params["head"]["w"])
+            if not np.allclose(cur, prev):
+                deltas.append(np.abs(cur - prev).sum())
+            prev = cur
+        assert len(deltas) == 4  # 8 micro-steps -> 4 applied updates
+        # lr(count=3 of 4) ~ 0.146*peak; the unconverted bug would leave
+        # lr(3 of 8) ~ 0.69*peak.
+        assert deltas[-1] < 0.3 * deltas[0]
+
+    def test_ema_advances_only_on_applied_updates(self):
+        from office_person_detection_vit_tpu.training import (
+            TrainState,
+            apply_update,
+            make_optimizer,
+        )
+
+        params = {"head": {"w": jnp.zeros(3)}}
+        tx = make_optimizer(learning_rate=0.1, accum_steps=2)
+        state = TrainState.create(params, tx, ema=True)
+        g = {"head": {"w": jnp.ones(3)}}
+        s1 = apply_update(state, g, tx, ema_decay=0.9)
+        # Micro-step: params and EMA both untouched.
+        np.testing.assert_allclose(s1.ema_params["head"]["w"], 0.0)
+        s2 = apply_update(s1, g, tx, ema_decay=0.9)
+        p2 = np.asarray(s2.params["head"]["w"])
+        # Applied: exactly ONE decay-0.9 EMA step toward the new params
+        # (decay-per-update, not decay^accum_steps).
+        np.testing.assert_allclose(
+            np.asarray(s2.ema_params["head"]["w"]), 0.1 * p2, rtol=1e-5
+        )
+
+    def test_step_drop_fires_at_global_drop_at_despite_warmup(self):
+        from office_person_detection_vit_tpu.training import make_schedule
+
+        s = make_schedule(1e-3, "step", drop_at=50, warmup_steps=10)
+        assert np.isclose(float(s(10)), 1e-3)   # warmup done
+        assert np.isclose(float(s(49)), 1e-3)   # not yet dropped
+        # optax drops AT the boundary; same convention as the unwarmed
+        # schedule (make_schedule shifts the boundary so the drop stays at
+        # global step drop_at, not warmup_steps + drop_at).
+        assert np.isclose(float(s(50)), 1e-4)
+        with pytest.raises(ValueError):
+            make_schedule(1e-3, "step", drop_at=5, warmup_steps=10)
+
     def test_augment_hflip_mirrors_content_and_boxes(self):
         from office_person_detection_vit_tpu.training import (
             AugmentConfig,
@@ -981,5 +1046,40 @@ class TestCOCOBatchLoader:
         samples = self._samples(tmp_path, n=4)
         loader = COCOBatchLoader(samples, 2, capacity=2, resize_wh=(64, 48))
         loader._build = None  # force the producer to die
-        with pytest.raises(RuntimeError, match="producer died early"):
+        with pytest.raises(TypeError):  # re-raised at the consumer
             list(loader.epoch(0))
+
+    def test_unreadable_image_not_cached(self, tmp_path):
+        """A transient decode failure yields a blank frame but is retried
+        on the next access (never frozen into the cache as training
+        signal)."""
+        import cv2
+
+        from office_person_detection_vit_tpu.training import FrameCache
+
+        cache = FrameCache(resize_wh=(64, 48))
+        path = tmp_path / "late.png"
+        blank = cache.get(path)  # file does not exist yet
+        assert blank.sum() == 0 and cache.misses == 1
+        cv2.imwrite(str(path), np.full((48, 64, 3), 77, np.uint8))
+        again = cache.get(path)
+        assert cache.misses == 2  # retried, not served from cache
+        assert int(again.mean()) == 77
+        assert cache.get(path).mean() == again.mean() and cache.hits == 1
+
+    def test_early_exit_any_depth_never_deadlocks(self, tmp_path):
+        """Abandoning the epoch iterator mid-stream stops the producer
+        promptly even at depth=1 (shared prefetch_iter harness)."""
+        import threading
+
+        from office_person_detection_vit_tpu.training import COCOBatchLoader
+
+        before = threading.active_count()
+        samples = self._samples(tmp_path, n=8)
+        for depth in (1, 2):
+            loader = COCOBatchLoader(samples, 2, capacity=2,
+                                     resize_wh=(64, 48), depth=depth)
+            it = loader.epoch(0)
+            next(it)
+            it.close()  # early exit after one batch
+        assert threading.active_count() <= before + 1
