@@ -187,7 +187,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         },
     },
     "ocr": {
-        "engines": ["tesseract", "template"],
+        "engines": ["tesseract", "template", "zoning"],
         "tesseract": {"config": "--psm 8 --oem 3", "whitelist": "0123456789/:  "},
         "consensus": "weighted",
     },

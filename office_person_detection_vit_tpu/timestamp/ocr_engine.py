@@ -19,6 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from .template_ocr import TemplateOCREngine
+from .zoning_ocr import ZoningOCREngine
 
 logger = logging.getLogger(__name__)
 
@@ -150,10 +151,12 @@ ENGINE_REGISTRY = {
     "easyocr": EasyOCREngine,
     "paddleocr": PaddleOCREngine,
     "template": TemplateOCREngine,
+    "zoning": ZoningOCREngine,
 }
 
 #: Consensus weights (reference :239-309: tesseract 1.0, others 0.8).
-ENGINE_WEIGHTS = {"tesseract": 1.0, "template": 0.9, "easyocr": 0.8, "paddleocr": 0.8}
+ENGINE_WEIGHTS = {"tesseract": 1.0, "template": 0.9, "zoning": 0.85,
+                  "easyocr": 0.8, "paddleocr": 0.8}
 
 
 class MultiEngineOCR:
@@ -164,7 +167,7 @@ class MultiEngineOCR:
         tesseract_config: str = "--psm 8 --oem 3",
         tesseract_whitelist: str = "0123456789/:  ",
     ):
-        requested = engines or ["tesseract", "template"]
+        requested = engines or ["tesseract", "template", "zoning"]
         self.engines = []
         for name in requested:
             cls = ENGINE_REGISTRY.get(name)
@@ -188,7 +191,7 @@ class MultiEngineOCR:
     @classmethod
     def from_config(cls, cfg) -> "MultiEngineOCR":
         return cls(
-            engines=cfg.get("ocr.engines", ["tesseract", "template"]),
+            engines=cfg.get("ocr.engines", ["tesseract", "template", "zoning"]),
             consensus=cfg.get("ocr.consensus", "weighted"),
             tesseract_config=cfg.get("ocr.tesseract.config", "--psm 8 --oem 3"),
             tesseract_whitelist=cfg.get("ocr.tesseract.whitelist", "0123456789/:  "),

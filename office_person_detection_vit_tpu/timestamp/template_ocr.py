@@ -15,6 +15,19 @@ import numpy as np
 CHARSET = "0123456789/:"
 
 
+def binarize(image: np.ndarray) -> np.ndarray:
+    """Grayscale/BGR ROI -> Otsu binary with text-bright polarity
+    (burned-in timestamps are white-ish). Shared by the offline engines."""
+    import cv2
+
+    if image.ndim == 3:
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+    _, binary = cv2.threshold(image, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    if binary.mean() > 127:  # inverted polarity
+        binary = 255 - binary
+    return binary
+
+
 class TemplateOCREngine:
     name = "template"
 
@@ -65,13 +78,7 @@ class TemplateOCREngine:
         """Grayscale ROI -> (text, confidence in [0, 1])."""
         import cv2
 
-        if image.ndim == 3:
-            image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
-        # Binarize bright text (burned-in timestamps are white-ish).
-        _, binary = cv2.threshold(image, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
-        if binary.mean() > 127:  # inverted polarity
-            binary = 255 - binary
-
+        binary = binarize(image)
         boxes = self._segment(binary)
         if not boxes:
             return "", 0.0
@@ -149,4 +156,32 @@ class TemplateOCREngine:
         # noise specks don't skew glyph normalization.
         y0 = min(b[1] for b in boxes)
         y1 = max(b[3] for b in boxes)
-        return [(x0, y0, x1, y1) for x0, _, x1, _ in boxes]
+        boxes = [(x0, y0, x1, y1) for x0, _, x1, _ in boxes]
+        return TemplateOCREngine._split_touching(binary, boxes)
+
+    @staticmethod
+    def _split_touching(
+        binary: np.ndarray, boxes: list[tuple[int, int, int, int]]
+    ) -> list[tuple[int, int, int, int]]:
+        """Glyphs that touch (thick strokes / antialiasing at small scales)
+        merge into one connected component; split any box wider than 1.5x
+        the median glyph width at the column-projection valley of its
+        central third, recursively."""
+        if len(boxes) < 3:
+            return boxes
+        median_w = float(np.median([x1 - x0 for x0, _, x1, _ in boxes]))
+        out: list[tuple[int, int, int, int]] = []
+        stack = list(boxes)
+        while stack:
+            x0, y0, x1, y1 = stack.pop(0)
+            w = x1 - x0
+            if w <= 1.5 * median_w or w < 6:
+                out.append((x0, y0, x1, y1))
+                continue
+            colsum = (binary[y0:y1, x0:x1] > 0).sum(axis=0)
+            lo, hi = w // 3, 2 * w // 3
+            split = int(lo + np.argmin(colsum[lo:hi]))
+            stack.insert(0, (x0 + split, y0, x1, y1))
+            stack.insert(0, (x0, y0, x0 + split, y1))
+        out.sort(key=lambda b: b[0])
+        return out

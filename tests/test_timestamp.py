@@ -173,3 +173,85 @@ def test_roi_preprocess_upscales():
     roi = np.random.default_rng(0).integers(0, 255, (20, 100, 3), np.uint8)
     out = ex.preprocess_roi(roi)
     assert out.shape[1] == 300 and out.ndim == 2
+
+
+# ---------------------------------------------------------------- zoning OCR
+def test_zoning_ocr_reads_rendered_timestamp():
+    """Second dependency-free engine (timestamp/zoning_ocr.py): zoning +
+    projection + stroke-crossing features vs the template engine's NCC —
+    different recognition principle, same segmentation contract."""
+    from office_person_detection_vit_tpu.timestamp.zoning_ocr import ZoningOCREngine
+
+    roi_ex = TimestampROIExtractor()
+    frame = render_frame(datetime(2025, 1, 20, 12, 34, 56))
+    roi = roi_ex.preprocess_roi(roi_ex.extract_roi(frame))
+    text, conf = ZoningOCREngine().extract(roi)
+    parsed = TimestampParser().fuzzy_parse(text)
+    assert parsed == datetime(2025, 1, 20, 12, 34, 56), f"OCR read {text!r}"
+    assert conf > 0.4
+
+
+def test_zoning_ocr_across_fonts():
+    """The centroid classifier generalizes to a Hershey font it was never
+    rendered from (COMPLEX) at several scales."""
+    import cv2
+
+    from office_person_detection_vit_tpu.timestamp.zoning_ocr import ZoningOCREngine
+
+    eng = ZoningOCREngine()
+    for scale in (1.0, 1.3, 1.6):
+        canvas = np.zeros((70, 760), np.uint8)
+        cv2.putText(canvas, "2024/01/15 10:30:45", (8, 52),
+                    cv2.FONT_HERSHEY_COMPLEX, scale, 255, 2, cv2.LINE_AA)
+        text, _ = eng.extract(canvas)
+        assert text.replace(" ", "") == "2024/01/1510:30:45", (scale, text)
+
+
+def test_segmentation_splits_touching_glyphs():
+    """At small scales thick strokes merge adjacent digits into one
+    connected component; _split_touching recovers the glyph boxes (both
+    offline engines previously read '12:34:56' as '12:2:56' here)."""
+    import cv2
+
+    canvas = np.zeros((70, 760), np.uint8)
+    cv2.putText(canvas, "12:34:56", (8, 52), cv2.FONT_HERSHEY_DUPLEX,
+                1.0, 255, 2, cv2.LINE_AA)
+    text, _ = TemplateOCREngine().extract(canvas)
+    assert text == "12:34:56"
+
+
+def test_real_two_engine_consensus_offline():
+    """MultiEngineOCR consensus runs with TWO real engines in this
+    hermetic environment (template + zoning) — every consensus mode
+    agrees on a rendered timestamp, no mocks involved."""
+    roi_ex = TimestampROIExtractor()
+    frame = render_frame(datetime(2025, 3, 2, 8, 15, 30))
+    roi = roi_ex.preprocess_roi(roi_ex.extract_roi(frame))
+    for mode in ("baseline", "weighted", "voting"):
+        ocr = MultiEngineOCR(engines=["template", "zoning"], consensus=mode)
+        assert len(ocr.engines) == 2, [e.name for e in ocr.engines]
+        text, conf = ocr.extract_with_consensus(roi)
+        parsed = TimestampParser().fuzzy_parse(text)
+        assert parsed == datetime(2025, 3, 2, 8, 15, 30), (mode, text)
+        assert conf > 0.4
+
+
+def test_consensus_weighted_prefers_format_shaped_disagreement():
+    """When the two real engines disagree, weighted consensus picks the
+    better (weight x confidence x format) candidate."""
+
+    class Fixed:
+        def __init__(self, name, text, conf):
+            self.name, self._t, self._c = name, text, conf
+
+        def is_available(self):
+            return True
+
+        def extract(self, image):
+            return self._t, self._c
+
+    ocr = MultiEngineOCR(engines=["template"], consensus="weighted")
+    ocr.engines = [Fixed("template", "2025/03/02 08:15:30", 0.6),
+                   Fixed("zoning", "///:::", 0.9)]  # confident garbage
+    text, _ = ocr.extract_with_consensus(np.zeros((40, 200), np.uint8))
+    assert text == "2025/03/02 08:15:30"
