@@ -77,6 +77,25 @@ def main(argv: list[str] | None = None) -> int:
                 train_args += ["--tiny"]
             if config.get("training.remat", False):
                 train_args += ["--remat"]
+            # Recipe knobs (docs/training.md "Recipe knobs"): LR schedule,
+            # accumulation, EMA weights, fused on-device augmentation.
+            schedule = config.get("training.schedule", "none")
+            if schedule and schedule != "none":
+                train_args += [
+                    "--schedule", str(schedule),
+                    "--warmup-steps", str(config.get("training.warmup_steps", 0)),
+                ]
+                drop_at = config.get("training.drop_at", None)
+                if drop_at is not None:
+                    train_args += ["--drop-at", str(drop_at)]
+            accum = int(config.get("training.accum_steps", 1))
+            if accum > 1:
+                train_args += ["--accum-steps", str(accum)]
+            ema = float(config.get("training.ema", 0.0))
+            if ema > 0:
+                train_args += ["--ema", str(ema)]
+            if config.get("training.augment", False):
+                train_args += ["--augment"]
             init = config.get("detection.checkpoint_path", None)
             if init:
                 train_args += ["--init", str(init)]

@@ -161,3 +161,37 @@ def test_fine_tune_flag_runs_training(tmp_path):
         td.main = orig
     assert rc == 0
     assert (tmp_path / "run" / "weights.npz").exists()
+
+
+def test_fine_tune_forwards_recipe_knobs(tmp_path):
+    """training.schedule/accum_steps/ema/augment config keys forward to the
+    training tool as the matching CLI flags (docs/training.md recipe)."""
+    video = write_video(tmp_path / "v.mp4", num_frames=10)
+    cfg_path = _write_config(tmp_path, video)
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["training"] = {
+        "images_dir": str(tmp_path), "annotations": str(tmp_path / "x.json"),
+        "schedule": "cosine", "warmup_steps": 5, "accum_steps": 2,
+        "ema": 0.99, "augment": True,
+    }
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    import tools.train_detr as td
+
+    seen = {}
+    orig = td.main
+
+    def capture(argv):
+        seen["argv"] = argv
+        return 0
+
+    td.main = capture
+    try:
+        assert main(["--config", str(cfg_path), "--fine-tune"]) == 0
+    finally:
+        td.main = orig
+    argv = seen["argv"]
+    for flag, val in (("--schedule", "cosine"), ("--warmup-steps", "5"),
+                      ("--accum-steps", "2"), ("--ema", "0.99")):
+        assert argv[argv.index(flag) + 1] == val, argv
+    assert "--augment" in argv and "--drop-at" not in argv
