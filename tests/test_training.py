@@ -1083,3 +1083,60 @@ class TestCOCOBatchLoader:
             next(it)
             it.close()  # early exit after one batch
         assert threading.active_count() <= before + 1
+
+
+class TestResumeAcrossEMAToggle:
+    """tools/train_detr._load_train_state: resuming adapts when the
+    checkpoint's EMA presence differs from the current --ema flag, and
+    fails clearly on true optimizer-shape mismatches."""
+
+    def _mk(self, ema, accum=1):
+        import optax  # noqa: F401
+
+        from office_person_detection_vit_tpu.training import make_optimizer
+
+        params = {"head": {"w": jnp.arange(3, dtype=jnp.float32)}}
+        tx = make_optimizer(learning_rate=0.1, accum_steps=accum)
+        return TrainState.create(params, tx, ema=ema), tx
+
+    def test_pre_ema_checkpoint_restarts_average(self, tmp_path):
+        from tools.train_detr import _load_train_state, _save_pytree
+
+        state_old, _ = self._mk(ema=False)
+        p = tmp_path / "s.npz"
+        _save_pytree(p, state_old)
+        template, _ = self._mk(ema=True)
+        got = _load_train_state(p, template)
+        np.testing.assert_allclose(got.ema_params["head"]["w"],
+                                   np.asarray(got.params["head"]["w"]))
+
+    def test_ema_checkpoint_resumed_without_ema(self, tmp_path):
+        from tools.train_detr import _load_train_state, _save_pytree
+
+        state_old, _ = self._mk(ema=True)
+        p = tmp_path / "s.npz"
+        _save_pytree(p, state_old)
+        template, _ = self._mk(ema=False)
+        got = _load_train_state(p, template)
+        assert got.ema_params is None
+        np.testing.assert_allclose(got.params["head"]["w"], [0, 1, 2])
+
+    def test_matching_template_roundtrips(self, tmp_path):
+        from tools.train_detr import _load_train_state, _save_pytree
+
+        state_old, _ = self._mk(ema=True)
+        p = tmp_path / "s.npz"
+        _save_pytree(p, state_old)
+        template, _ = self._mk(ema=True)
+        got = _load_train_state(p, template)
+        np.testing.assert_allclose(got.ema_params["head"]["w"], [0, 1, 2])
+
+    def test_optimizer_shape_mismatch_is_a_clear_error(self, tmp_path):
+        from tools.train_detr import _load_train_state, _save_pytree
+
+        state_old, _ = self._mk(ema=False, accum=1)
+        p = tmp_path / "s.npz"
+        _save_pytree(p, state_old)
+        template, _ = self._mk(ema=False, accum=2)  # MultiSteps adds leaves
+        with pytest.raises(ValueError, match="accum-steps"):
+            _load_train_state(p, template)

@@ -43,6 +43,53 @@ def _load_pytree(path: Path, template):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _load_train_state(path: Path, template):
+    """Resume a TrainState npz, adapting when the checkpoint's EMA presence
+    differs from the current ``--ema`` flag: resuming a pre-EMA checkpoint
+    with EMA on restarts the average from the resumed weights; resuming an
+    EMA checkpoint with EMA off drops the average. Any other leaf-count
+    mismatch (e.g. a changed --accum-steps optimizer shape) fails with a
+    clear message instead of an unflatten error."""
+    import dataclasses
+
+    import jax
+
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+
+    def try_unflatten(tmpl):
+        t_leaves, treedef = jax.tree_util.tree_flatten(tmpl)
+        if len(leaves) != len(t_leaves):
+            return None
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    state = try_unflatten(template)
+    if state is not None:
+        return state
+    want_ema = template.ema_params is not None
+    alt = dataclasses.replace(
+        template,
+        ema_params=None if want_ema
+        else jax.tree_util.tree_map(np.asarray, template.params),
+    )
+    state = try_unflatten(alt)
+    if state is None:
+        n_tmpl = len(jax.tree_util.tree_leaves(template))
+        raise ValueError(
+            f"checkpoint {path} has {len(leaves)} leaves but the current "
+            f"train state expects {n_tmpl}; the optimizer configuration "
+            "(e.g. --accum-steps) must match the saving run"
+        )
+    if want_ema:
+        logger.info("resumed checkpoint has no EMA; restarting the average "
+                    "from the resumed weights")
+        return dataclasses.replace(
+            state, ema_params=jax.tree_util.tree_map(np.asarray, state.params)
+        )
+    logger.info("resumed checkpoint carries EMA weights; --ema 0 drops them")
+    return dataclasses.replace(state, ema_params=None)
+
+
 #: Working resolution the trainer resizes every frame to before the jitted
 #: letterbox (matches the pipeline's 1280x720 input contract); evaluation
 #: scores boxes in this pixel space.
@@ -370,7 +417,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     start_epoch = 0
     if args.resume_from and args.resume_from.exists():
-        state0 = _load_pytree(args.resume_from, state0)
+        state0 = _load_train_state(args.resume_from, state0)
         params = state0.params
         meta = args.resume_from.parent / "train_state_meta.json"
         if meta.exists():
