@@ -79,19 +79,21 @@ def main(argv: list[str] | None = None) -> int:
                 train_args += ["--remat"]
             # Recipe knobs (docs/training.md "Recipe knobs"): LR schedule,
             # accumulation, EMA weights, fused on-device augmentation.
-            schedule = config.get("training.schedule", "none")
+            # A present-but-null YAML key means "default" (config.get only
+            # falls back for MISSING keys).
+            schedule = config.get("training.schedule", None)
             if schedule and schedule != "none":
-                train_args += [
-                    "--schedule", str(schedule),
-                    "--warmup-steps", str(config.get("training.warmup_steps", 0)),
-                ]
+                train_args += ["--schedule", str(schedule)]
                 drop_at = config.get("training.drop_at", None)
                 if drop_at is not None:
                     train_args += ["--drop-at", str(drop_at)]
-            accum = int(config.get("training.accum_steps", 1))
+            warmup = int(config.get("training.warmup_steps", 0) or 0)
+            if warmup > 0:  # warmed-up constant LR is valid without schedule
+                train_args += ["--warmup-steps", str(warmup)]
+            accum = int(config.get("training.accum_steps", 1) or 1)
             if accum > 1:
                 train_args += ["--accum-steps", str(accum)]
-            ema = float(config.get("training.ema", 0.0))
+            ema = float(config.get("training.ema", 0.0) or 0.0)
             if ema > 0:
                 train_args += ["--ema", str(ema)]
             if config.get("training.augment", False):

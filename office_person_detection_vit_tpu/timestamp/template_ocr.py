@@ -15,6 +15,23 @@ import numpy as np
 CHARSET = "0123456789/:"
 
 
+def spaced_join(boxes: list[tuple[int, int, int, int]],
+                chars: list[str]) -> str:
+    """Join per-glyph characters, inserting a space wherever the horizontal
+    gap between adjacent boxes exceeds 0.9x the median glyph width (shared
+    by both offline engines so their consensus strings stay comparable)."""
+    widths = [x1 - x0 for x0, _, x1, _ in boxes]
+    median_w = float(np.median(widths)) if widths else 1.0
+    out: list[str] = []
+    prev_x1 = None
+    for (x0, _, x1, _), ch in zip(boxes, chars):
+        if prev_x1 is not None and x0 - prev_x1 > 0.9 * median_w:
+            out.append(" ")
+        prev_x1 = x1
+        out.append(ch)
+    return "".join(out)
+
+
 def binarize(image: np.ndarray) -> np.ndarray:
     """Grayscale/BGR ROI -> Otsu binary with text-bright polarity
     (burned-in timestamps are white-ish). Shared by the offline engines."""
@@ -84,13 +101,7 @@ class TemplateOCREngine:
             return "", 0.0
         chars: list[str] = []
         scores: list[float] = []
-        prev_x1 = None
-        widths = [x1 - x0 for x0, _, x1, _ in boxes]
-        median_w = float(np.median(widths)) if widths else 1.0
         for x0, y0, x1, y1 in boxes:
-            if prev_x1 is not None and x0 - prev_x1 > 0.9 * median_w:
-                chars.append(" ")
-            prev_x1 = x1
             glyph = binary[y0:y1, x0:x1].astype(np.float32)
             glyph = cv2.resize(glyph, (self.glyph_w, self.glyph_h))
             best_ch, best_score = "", -1.0
@@ -100,7 +111,7 @@ class TemplateOCREngine:
                     best_ch, best_score = ch, score
             chars.append(best_ch)
             scores.append(max(best_score, 0.0))
-        text = "".join(chars)
+        text = spaced_join(boxes, chars)
         conf = float(np.mean(scores)) if scores else 0.0
         return text, conf
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .template_ocr import CHARSET, TemplateOCREngine, binarize
+from .template_ocr import CHARSET, TemplateOCREngine, binarize, spaced_join
 
 #: (font constant name, scale, thickness) variants averaged per class.
 _FONT_VARIANTS = (
@@ -43,9 +43,10 @@ _GLYPH_H, _GLYPH_W = 20, 16
 def _glyph_features(glyph01: np.ndarray, aspect: float) -> np.ndarray:
     """Binary glyph (20x16, values in {0,1}) -> L2-normalized feature
     vector: 5x4 zoning densities, row/col projection profiles, and
-    stroke-crossing counts along 5 horizontal + 3 vertical scanlines
-    (crossings carry the digit topology — e.g. '4' cuts a mid row twice
-    where '6' cuts once — so they are weighted up before normalization)."""
+    stroke-crossing counts along 5 horizontal + 3 vertical scanlines —
+    the crossings carry the digit topology (e.g. '4' cuts a mid row twice
+    where '6' cuts once); halving rather than quartering them keeps their
+    magnitude comparable to the density features after L2 normalization."""
     g = glyph01
     zones = g.reshape(5, 4, 4, 4).mean(axis=(1, 3)).reshape(-1)  # 5x4 blocks
     rows = g.mean(axis=1)                                        # 20
@@ -117,13 +118,12 @@ class ZoningOCREngine:
         boxes = TemplateOCREngine._segment(binary)
         if not boxes:
             return "", 0.0
-        feats, aspects = [], []
+        feats = []
         for x0, y0, x1, y1 in boxes:
             glyph = (binary[y0:y1, x0:x1] > 0).astype(np.float32)
             glyph = cv2.resize(glyph, (_GLYPH_W, _GLYPH_H))
             feats.append(_glyph_features((glyph > 0.5).astype(np.float32),
                                          (x1 - x0) / max(y1 - y0, 1)))
-            aspects.append(x1 - x0)
         sims = np.stack(feats) @ self.centroids.T  # (glyphs, classes)
         order = np.argsort(sims, axis=1)
         best = sims[np.arange(len(boxes)), order[:, -1]]
@@ -132,13 +132,5 @@ class ZoningOCREngine:
         # runner-up is thin (ambiguous glyph).
         conf_per = np.clip(best, 0, 1) * np.clip(0.5 + 4.0 * (best - second),
                                                  0.5, 1.0)
-
-        chars: list[str] = []
-        median_w = float(np.median(aspects)) if aspects else 1.0
-        prev_x1 = None
-        for (x0, _, x1, _), cls in zip(boxes, order[:, -1]):
-            if prev_x1 is not None and x0 - prev_x1 > 0.9 * median_w:
-                chars.append(" ")
-            prev_x1 = x1
-            chars.append(CHARSET[int(cls)])
-        return "".join(chars), float(np.mean(conf_per))
+        chars = [CHARSET[int(c)] for c in order[:, -1]]
+        return spaced_join(boxes, chars), float(np.mean(conf_per))

@@ -34,11 +34,15 @@ def _save_pytree(path: Path, tree) -> None:
     np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
 
+def _load_leaves(path: Path) -> list[np.ndarray]:
+    with np.load(path) as data:
+        return [data[f"leaf_{i}"] for i in range(len(data.files))]
+
+
 def _load_pytree(path: Path, template):
     import jax
 
-    with np.load(path) as data:
-        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    leaves = _load_leaves(path)
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -54,13 +58,23 @@ def _load_train_state(path: Path, template):
 
     import jax
 
-    with np.load(path) as data:
-        leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    leaves = _load_leaves(path)
 
     def try_unflatten(tmpl):
         t_leaves, treedef = jax.tree_util.tree_flatten(tmpl)
         if len(leaves) != len(t_leaves):
             return None
+        bad = [
+            f"leaf_{i}: checkpoint {l.shape} vs expected {np.shape(t)}"
+            for i, (l, t) in enumerate(zip(leaves, t_leaves))
+            if l.shape != np.shape(t)
+        ]
+        if bad:  # same tree arity, different model geometry
+            raise ValueError(
+                f"checkpoint {path} matches the train-state structure but "
+                f"{len(bad)} leaves differ in shape (different model "
+                f"size/backbone?), e.g. {bad[0]}"
+            )
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     state = try_unflatten(template)
