@@ -1,0 +1,117 @@
+"""StableHLO deployment export of the fused detect program.
+
+`jax.export` serializes the traced program (preprocess -> backbone ->
+transformer -> postprocess, exactly the Phase-2 hot path the detectors
+dispatch) as portable StableHLO plus calling-convention metadata. The
+serialized artifact reloads WITHOUT the model's Python code — a deployment
+story the reference delegates to ultralytics' `.pt` files (reference
+src/detection/yolov8_detector.py:70-88, torch pickles that require the
+full ultralytics stack to open); here the artifact is a compiler-level
+module any JAX runtime on a compatible platform can execute.
+
+Weights travel separately (the standard framework npz from
+`tools/train_detr.py` / converted torch checkpoints): the exported module
+takes the variables pytree as a runtime argument, so ONE artifact serves
+every fine-tune of the same architecture.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def export_detect(detector, batch_size: int | None = None,
+                  source_hw: tuple[int, int] = (720, 1280),
+                  platforms: tuple[str, ...] | None = ("cpu", "tpu")):
+    """-> ``jax.export.Exported`` for the detector's fused BGR program.
+
+    Calling convention of the exported module (flat-array outputs — no
+    custom pytree registrations needed at load time):
+    ``(variables, frames_u8 (B,H,W,3), orig_wh (2,) f32, conf () f32) ->
+    {"boxes_xywh", "scores", "valid", "foot"}``.
+
+    ``platforms``: lowering targets baked into the artifact (default: one
+    module that runs on both CPU and TPU; None = the current platform).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if detector.model is None:
+        detector.load_model()
+    if detector.mesh is not None or "bgr" not in detector._jits:
+        # The portable artifact is a single-device program: strip any
+        # DP/TP shardings and non-bgr transfer formats for the export
+        # trace, then restore the detector's own programs (rebuilding —
+        # never leave _jits inconsistent with the attributes).
+        saved_mesh, saved_fmt = detector.mesh, detector.transfer_format
+        detector.mesh, detector.transfer_format = None, "bgr"
+        detector._build_jits()
+        raw = detector._jits["bgr"].jitted
+        detector.mesh, detector.transfer_format = saved_mesh, saved_fmt
+        detector._build_jits()
+    else:
+        raw = detector._jits["bgr"].jitted
+
+    @jax.jit
+    def detect_flat(variables, frames_u8, orig_wh, conf):
+        batch = raw(variables, frames_u8, orig_wh, conf)[0]
+        return {
+            "boxes_xywh": batch.boxes_xywh,
+            "scores": batch.scores,
+            "valid": batch.valid,
+            "foot": batch.foot,
+        }
+
+    B = int(batch_size or detector.batch_size)
+    H, W = source_hw
+    args = (
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            detector.variables,
+        ),
+        jax.ShapeDtypeStruct((B, H, W, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((2,), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    kwargs = {"platforms": platforms} if platforms else {}
+    exported = jax.export.export(detect_flat, **kwargs)(*args)
+    logger.info(
+        "exported detect program: batch=%d source=%dx%d platforms=%s",
+        B, H, W, exported.platforms,
+    )
+    return exported
+
+
+def save_exported(exported, path: Path) -> int:
+    """Serialize to ``path``; returns the byte size."""
+    blob = exported.serialize()
+    Path(path).write_bytes(blob)
+    return len(blob)
+
+
+def load_exported(path: Path):
+    """Deserialize an exported detect program; ``.call(variables, frames,
+    orig_wh, conf)`` executes it (no model code required)."""
+    import jax
+
+    return jax.export.deserialize(Path(path).read_bytes())
+
+
+def run_exported(exported, variables: Any, frames_u8: np.ndarray,
+                 orig_wh=(1280.0, 720.0), conf: float = 0.5) -> dict:
+    """Convenience host wrapper around ``Exported.call``."""
+    import jax.numpy as jnp
+
+    out = exported.call(
+        variables,
+        jnp.asarray(frames_u8),
+        jnp.asarray(orig_wh, jnp.float32),
+        jnp.asarray(conf, jnp.float32),
+    )
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -250,3 +250,65 @@ class TestBucketedChunking:
         np.testing.assert_allclose(
             np.asarray(three.scores), np.asarray(full.scores[:3]), atol=1e-5
         )
+
+
+class TestStableHLOExport:
+    """detection/export.py: jax.export round-trip of the fused detect
+    program — the artifact reloads and executes without model code and
+    matches the live detector exactly (tools/export_stablehlo.py is the
+    CLI; the reference's deployment handoff is an ultralytics .pt pickle
+    that needs the full stack to open)."""
+
+    def test_export_roundtrip_matches_live_detector(self, tiny_detector,
+                                                    tmp_path):
+        from office_person_detection_vit_tpu.detection.export import (
+            export_detect,
+            load_exported,
+            run_exported,
+            save_exported,
+        )
+
+        det = tiny_detector
+        exp = export_detect(det, batch_size=2, source_hw=(96, 128),
+                            platforms=None)  # current (CPU) platform
+        path = tmp_path / "detect.stablehlo"
+        n = save_exported(exp, path)
+        assert n > 1000 and path.stat().st_size == n
+
+        frames = np.random.default_rng(3).integers(0, 255, (2, 96, 128, 3),
+                                                   np.uint8)
+        out = run_exported(load_exported(path), det.variables, frames,
+                           orig_wh=(128.0, 96.0),
+                           conf=det.confidence_threshold)
+        ref = det.detect_batch(frames)
+        assert set(out) == {"boxes_xywh", "scores", "valid", "foot"}
+        np.testing.assert_allclose(out["boxes_xywh"],
+                                   np.asarray(ref.boxes_xywh),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out["scores"], np.asarray(ref.scores),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))
+
+    def test_multiplatform_lowering(self, tiny_detector):
+        """One artifact lowers for cpu AND tpu (the default) — deploy the
+        same file to either runtime."""
+        from office_person_detection_vit_tpu.detection.export import (
+            export_detect,
+        )
+
+        exp = export_detect(tiny_detector, batch_size=1,
+                            source_hw=(96, 128))
+        assert exp.platforms == ("cpu", "tpu")
+
+    def test_cli_tool(self, tmp_path):
+        from tools.export_stablehlo import main as export_main
+
+        rc = export_main([
+            "--output", str(tmp_path / "m.stablehlo"), "--tiny",
+            "--batch", "1", "--source-hw", "96x128",
+            "--platforms", "cpu", "--validate",
+            "--weights-out", str(tmp_path / "w.npz"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "m.stablehlo").exists()
+        assert (tmp_path / "w.npz").exists()
