@@ -44,19 +44,33 @@ def export_detect(detector, batch_size: int | None = None,
 
     if detector.model is None:
         detector.load_model()
-    if detector.mesh is not None or "bgr" not in detector._jits:
+
+    def raw_bgr(det):
+        """The raw jitted BGR program: every family exposes .jitted
+        (DETRDetector keeps per-format _jits; SSD/YOLO keep one)."""
+        jits = getattr(det, "_jits", None)
+        if jits is not None:
+            return jits["bgr"].jitted if "bgr" in jits else None
+        return det._jit_detect.jitted
+
+    if detector.mesh is not None or raw_bgr(detector) is None:
         # The portable artifact is a single-device program: strip any
         # DP/TP shardings and non-bgr transfer formats for the export
         # trace, then restore the detector's own programs (rebuilding —
-        # never leave _jits inconsistent with the attributes).
-        saved_mesh, saved_fmt = detector.mesh, detector.transfer_format
-        detector.mesh, detector.transfer_format = None, "bgr"
+        # never leave the jits inconsistent with the attributes).
+        saved_mesh, saved_fmt = detector.mesh, getattr(
+            detector, "transfer_format", None)
+        detector.mesh = None
+        if saved_fmt is not None:
+            detector.transfer_format = "bgr"
         detector._build_jits()
-        raw = detector._jits["bgr"].jitted
-        detector.mesh, detector.transfer_format = saved_mesh, saved_fmt
+        raw = raw_bgr(detector)
+        detector.mesh = saved_mesh
+        if saved_fmt is not None:
+            detector.transfer_format = saved_fmt
         detector._build_jits()
     else:
-        raw = detector._jits["bgr"].jitted
+        raw = raw_bgr(detector)
 
     @jax.jit
     def detect_flat(variables, frames_u8, orig_wh, conf):

@@ -312,3 +312,35 @@ class TestStableHLOExport:
         assert rc == 0
         assert (tmp_path / "m.stablehlo").exists()
         assert (tmp_path / "w.npz").exists()
+
+
+def test_stablehlo_export_ssd_family(tmp_path):
+    """export_detect generalizes across families: the SSD/FCOS detector's
+    single _jit_detect program exports/reloads with the same contract."""
+    from office_person_detection_vit_tpu.detection.export import (
+        export_detect,
+        load_exported,
+        run_exported,
+        save_exported,
+    )
+    from office_person_detection_vit_tpu.detection.ssd_detector import SSDDetector
+    from office_person_detection_vit_tpu.models.single_shot import SingleShotConfig
+
+    cfg = ConfigManager.from_dict(
+        {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                       "input_height": 96, "input_width": 128}}
+    )
+    det = SSDDetector(cfg, ss_config=SingleShotConfig.tiny())
+    det.load_model()
+    exp = export_detect(det, batch_size=2, source_hw=(96, 128),
+                        platforms=None)
+    path = tmp_path / "ssd.stablehlo"
+    save_exported(exp, path)
+    frames = np.random.default_rng(7).integers(0, 255, (2, 96, 128, 3),
+                                               np.uint8)
+    out = run_exported(load_exported(path), det.variables, frames,
+                       orig_wh=(128.0, 96.0), conf=0.0)
+    ref = det.detect_batch(frames)
+    np.testing.assert_allclose(out["boxes_xywh"], np.asarray(ref.boxes_xywh),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))

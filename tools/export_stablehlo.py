@@ -56,16 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     import jax
 
     from office_person_detection_vit_tpu.config.config_manager import ConfigManager
-    from office_person_detection_vit_tpu.detection.detector import DETRDetector
     from office_person_detection_vit_tpu.detection.export import (
         export_detect,
         load_exported,
         run_exported,
         save_exported,
     )
+    from office_person_detection_vit_tpu.detection.ssd_detector import build_detector
 
     if args.config:
-        cfg = ConfigManager(args.config)
+        cfg = ConfigManager(args.config)  # honors detection.model
     else:
         det_cfg = {"confidence_threshold": 0.5, "batch_size": 8}
         if args.tiny:
@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     h, w = (int(x) for x in args.source_hw.split("x"))
-    detector = DETRDetector(cfg)
+    detector = build_detector(cfg)
     detector.load_model()
     exported = export_detect(
         detector, batch_size=args.batch, source_hw=(h, w),
