@@ -38,6 +38,10 @@ def export_detect(detector, batch_size: int | None = None,
 
     ``platforms``: lowering targets baked into the artifact (default: one
     module that runs on both CPU and TPU; None = the current platform).
+
+    ``batch_size``: a fixed int, or None (default) for a SYMBOLIC batch
+    dimension — one artifact serves any batch size (XLA specializes per
+    shape at call time, like the detector's own bucket programs).
     """
     import jax
     import jax.numpy as jnp
@@ -82,7 +86,8 @@ def export_detect(detector, batch_size: int | None = None,
             "foot": batch.foot,
         }
 
-    B = int(batch_size or detector.batch_size)
+    B = (jax.export.symbolic_shape("b")[0] if batch_size is None
+         else int(batch_size))
     H, W = source_hw
     args = (
         jax.tree_util.tree_map(
@@ -96,7 +101,7 @@ def export_detect(detector, batch_size: int | None = None,
     kwargs = {"platforms": platforms} if platforms else {}
     exported = jax.export.export(detect_flat, **kwargs)(*args)
     logger.info(
-        "exported detect program: batch=%d source=%dx%d platforms=%s",
+        "exported detect program: batch=%s source=%dx%d platforms=%s",
         B, H, W, exported.platforms,
     )
     return exported

@@ -344,3 +344,32 @@ def test_stablehlo_export_ssd_family(tmp_path):
     np.testing.assert_allclose(out["boxes_xywh"], np.asarray(ref.boxes_xywh),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))
+
+
+def test_stablehlo_export_dynamic_batch(tiny_detector, tmp_path):
+    """Default export uses a SYMBOLIC batch dim: one artifact executes at
+    any batch size with exact parity (XLA specializes per shape at call
+    time, like the detector's bucket programs)."""
+    from office_person_detection_vit_tpu.detection.export import (
+        export_detect,
+        load_exported,
+        run_exported,
+        save_exported,
+    )
+
+    det = tiny_detector
+    exp = export_detect(det, source_hw=(96, 128), platforms=None)
+    path = tmp_path / "dyn.stablehlo"
+    save_exported(exp, path)
+    reloaded = load_exported(path)
+    for n in (1, 3):
+        frames = np.random.default_rng(n).integers(0, 255, (n, 96, 128, 3),
+                                                   np.uint8)
+        out = run_exported(reloaded, det.variables, frames,
+                           orig_wh=(128.0, 96.0),
+                           conf=det.confidence_threshold)
+        ref = det.detect_batch(frames)
+        np.testing.assert_allclose(out["boxes_xywh"],
+                                   np.asarray(ref.boxes_xywh),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))

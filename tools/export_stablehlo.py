@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model config (smoke tests)")
     parser.add_argument("--batch", type=int, default=None,
-                        help="exported batch size (default: config batch)")
+                        help="fixed exported batch size (default: "
+                             "symbolic - one artifact, any batch)")
     parser.add_argument("--source-hw", default="720x1280",
                         help="input frame HxW baked into the export")
     parser.add_argument("--platforms", default="cpu,tpu",
