@@ -134,3 +134,101 @@ def run_exported(exported, variables: Any, frames_u8: np.ndarray,
         jnp.asarray(conf, jnp.float32),
     )
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def save_weights_npz(variables: Any, path: Path) -> int:
+    """Persist a (nested-dict) variables pytree as a path-keyed npz —
+    reconstructable WITHOUT the model code or a tree template (unlike the
+    trainer's flat leaf_i checkpoints). Returns the leaf count."""
+    import jax
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        name = "/".join(getattr(k, "key", str(k)) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_weights_npz(path: Path) -> dict:
+    """Rebuild the nested variables dict from a path-keyed npz."""
+    out: dict = {}
+    with np.load(path) as data:
+        for name in data.files:
+            node = out
+            parts = name.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[name]
+    return out
+
+
+class ExportedDetector:
+    """Serve-compatible adapter: the ``detect_batch`` contract backed by a
+    deserialized StableHLO artifact + path-keyed weights npz — NO model
+    construction, so `tools/serve.py --artifact ... --weights ...` brings
+    up the server from two files.
+
+    Incoming frames of any resolution are resized to the artifact's baked
+    ``source_hw``; box outputs are normalized-coordinate scaled to the
+    ORIGINAL frame pixels (per-axis normalization makes the resize
+    transparent). Fixed-batch artifacts pad partial batches; dynamic-batch
+    artifacts (the export default) run every size directly.
+    """
+
+    def __init__(self, artifact_path: Path, weights_path: Path,
+                 confidence_threshold: float = 0.5, batch_size: int = 8):
+        self.exported = load_exported(artifact_path)
+        self.variables = load_weights_npz(weights_path)
+        self.confidence_threshold = float(confidence_threshold)
+        # in_avals is the FLAT list of input leaves; the frames input is
+        # the unique rank-4 uint8 aval (weights are float/int32 params).
+        frames_aval = next(
+            a for a in self.exported.in_avals
+            if a.dtype == np.uint8 and len(a.shape) == 4
+        )
+        _, h, w, _ = frames_aval.shape
+        self.source_hw = (int(h), int(w))
+        b = frames_aval.shape[0]
+        self.exported_batch = int(b) if isinstance(b, int) else None
+        self.batch_size = (self.exported_batch
+                           if self.exported_batch is not None
+                           else int(batch_size))
+        self.model = self  # non-None sentinel for load_model() callers
+
+    def load_model(self) -> None:  # contract no-op: artifact is the model
+        pass
+
+    def detect_batch(self, frames: np.ndarray):
+        import cv2
+
+        from ..core.dto import DetectionBatch
+
+        F, H0, W0, _ = frames.shape
+        h, w = self.source_hw
+        if (H0, W0) != (h, w):
+            frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
+        pad = 0
+        if self.exported_batch is not None:
+            pad = (-F) % self.exported_batch
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, h, w, 3), np.uint8)]
+                )
+        outs = []
+        step = self.exported_batch or F
+        for i in range(0, len(frames), step):
+            outs.append(run_exported(
+                self.exported, self.variables, frames[i:i + step],
+                orig_wh=(float(W0), float(H0)),
+                conf=self.confidence_threshold,
+            ))
+        cat = {k: np.concatenate([o[k] for o in outs])[:F] for k in outs[0]}
+        import jax.numpy as jnp
+
+        return DetectionBatch(
+            boxes_xywh=jnp.asarray(cat["boxes_xywh"]),
+            scores=jnp.asarray(cat["scores"]),
+            valid=jnp.asarray(cat["valid"]),
+            foot=jnp.asarray(cat["foot"]),
+        )

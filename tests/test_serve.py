@@ -95,3 +95,89 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 400
+
+
+class TestExportedServing:
+    """serve.py --artifact: the server's detect path runs from a StableHLO
+    export + path-keyed weights npz, no model construction
+    (detection/export.py::ExportedDetector)."""
+
+    @pytest.fixture(scope="class")
+    def artifact(self, tmp_path_factory):
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.detection.export import (
+            export_detect,
+            save_exported,
+            save_weights_npz,
+        )
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                           "input_height": 96, "input_width": 128,
+                           "dtype": "float32",
+                           "use_pallas_attention": False}}
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+        det.load_model()
+        d = tmp_path_factory.mktemp("artifact")
+        save_exported(export_detect(det, source_hw=(96, 128),
+                                    platforms=None), d / "m.stablehlo")
+        save_weights_npz(det.variables, d / "w.npz")
+        return det, d
+
+    def test_exported_detector_matches_live(self, artifact):
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        det, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz",
+                              confidence_threshold=det.confidence_threshold)
+        assert ed.source_hw == (96, 128)
+        frames = np.random.default_rng(0).integers(0, 255, (3, 96, 128, 3),
+                                                   np.uint8)
+        got = ed.detect_batch(frames)
+        ref = det.detect_batch(frames)
+        np.testing.assert_allclose(np.asarray(got.boxes_xywh),
+                                   np.asarray(ref.boxes_xywh),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
+
+    def test_resizes_foreign_resolution_and_scales_boxes(self, artifact):
+        """A frame at a different resolution is resized to the baked
+        source_hw; boxes come back in ORIGINAL pixels (per-axis
+        normalization makes the resize transparent)."""
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        det, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz",
+                              confidence_threshold=det.confidence_threshold)
+        big = np.random.default_rng(1).integers(0, 255, (1, 192, 256, 3),
+                                                np.uint8)
+        got = ed.detect_batch(big)
+        small = np.stack([cv2.resize(big[0], (128, 96))])
+        ref = det.detect_batch(small)
+        # Same normalized detections, scaled 2x to the original pixels.
+        np.testing.assert_allclose(np.asarray(got.boxes_xywh),
+                                   2.0 * np.asarray(ref.boxes_xywh),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_microbatcher_serves_exported(self, artifact):
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        det, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz",
+                              confidence_threshold=det.confidence_threshold)
+        b = MicroBatcher(ed, max_batch=2, max_wait_ms=1)
+        out = b.submit(np.zeros((96, 128, 3), np.uint8))
+        assert isinstance(out, list)
+        assert b.stats["requests"] == 1

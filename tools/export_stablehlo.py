@@ -54,8 +54,6 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-    import jax
-
     from office_person_detection_vit_tpu.config.config_manager import ConfigManager
     from office_person_detection_vit_tpu.detection.export import (
         export_detect,
@@ -90,11 +88,14 @@ def main(argv: list[str] | None = None) -> int:
                 exported.platforms)
 
     if args.weights_out:
-        leaves = jax.tree_util.tree_leaves(detector.variables)
-        np.savez(args.weights_out,
-                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
-        logger.info("wrote weights %s (%d leaves)", args.weights_out,
-                    len(leaves))
+        from office_person_detection_vit_tpu.detection.export import (
+            save_weights_npz,
+        )
+
+        n = save_weights_npz(detector.variables, args.weights_out)
+        logger.info("wrote weights %s (%d path-keyed leaves; reload with "
+                    "load_weights_npz or serve.py --weights)",
+                    args.weights_out, n)
 
     if args.validate:
         B = args.batch or detector.batch_size

@@ -144,41 +144,71 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--config", default=None)
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--artifact", type=Path, default=None,
+                        help="serve a StableHLO export "
+                             "(tools/export_stablehlo.py) instead of "
+                             "building the model; requires --weights")
+    parser.add_argument("--weights", type=Path, default=None,
+                        help="path-keyed weights npz for --artifact")
+    parser.add_argument("--confidence", type=float, default=0.5,
+                        help="confidence threshold for --artifact serving")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
-    from office_person_detection_vit_tpu.detection.ssd_detector import build_detector
     from office_person_detection_vit_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    if args.config:
-        cfg = ConfigManager(args.config)
-    else:
-        det = {"confidence_threshold": 0.5, "batch_size": 8}
-        if args.tiny:
-            det.update(model_size="tiny", input_height=96, input_width=128,
-                       dtype="float32", use_pallas_attention=False)
-        cfg = ConfigManager.from_dict({"detection": det})
+    if args.artifact:
+        # Model-free bring-up: two files, no flax model construction.
+        if not args.weights:
+            parser.error("--artifact requires --weights")
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
 
-    detector = build_detector(cfg)
-    detector.load_model()
-    # Warm every bucket program (1, 2, 4, ..., batch_size) so no request
-    # size is hit by compile latency; compiled programs persist in the XLA
-    # cache, so this is fast on every start but the machine's first.
-    buckets = (
-        detector._bucket_sizes()
-        if hasattr(detector, "_bucket_sizes")
-        else [detector.batch_size]
-    )
-    for b in buckets:
-        detector.detect_batch(np.zeros((b, 720, 1280, 3), np.uint8))
-        logger.info("warmed bucket %d", b)
+        detector = ExportedDetector(
+            args.artifact, args.weights,
+            confidence_threshold=args.confidence,
+        )
+        h, w = detector.source_hw
+        detector.detect_batch(np.zeros((1, h, w, 3), np.uint8))  # warm
+        model_name = f"exported:{args.artifact.name}"
+    else:
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+        from office_person_detection_vit_tpu.detection.ssd_detector import (
+            build_detector,
+        )
+
+        if args.config:
+            cfg = ConfigManager(args.config)
+        else:
+            det = {"confidence_threshold": 0.5, "batch_size": 8}
+            if args.tiny:
+                det.update(model_size="tiny", input_height=96, input_width=128,
+                           dtype="float32", use_pallas_attention=False)
+            cfg = ConfigManager.from_dict({"detection": det})
+
+        detector = build_detector(cfg)
+        detector.load_model()
+        # Warm every bucket program (1, 2, 4, ..., batch_size) so no request
+        # size is hit by compile latency; compiled programs persist in the XLA
+        # cache, so this is fast on every start but the machine's first.
+        buckets = (
+            detector._bucket_sizes()
+            if hasattr(detector, "_bucket_sizes")
+            else [detector.batch_size]
+        )
+        for b in buckets:
+            detector.detect_batch(np.zeros((b, 720, 1280, 3), np.uint8))
+            logger.info("warmed bucket %d", b)
+        model_name = str(cfg.get("detection.model", "detr"))
     logger.info("model warm; serving on %s:%d", args.host, args.port)
 
     batcher = MicroBatcher(detector, max_batch=detector.batch_size)
     info = {
-        "model": str(cfg.get("detection.model", "detr")),
+        "model": model_name,
         "batch_size": detector.batch_size,
     }
     server = ThreadingHTTPServer((args.host, args.port), make_handler(batcher, info))
