@@ -70,8 +70,8 @@ def main(output_dir: str = "output") -> None:  # pragma: no cover - UI code
         )
 
     # ------------------------------------------------------------- imagery
-    tab_det, tab_floor, tab_traj = st.tabs(
-        ["Detections", "Floormaps", "Trajectories"]
+    tab_det, tab_floor, tab_traj, tab_train = st.tabs(
+        ["Detections", "Floormaps", "Trajectories", "Training"]
     )
     with tab_det:
         for img in loader.images("02_detection", limit=12):
@@ -95,6 +95,45 @@ def main(output_dir: str = "output") -> None:  # pragma: no cover - UI code
             st.pyplot(fig)
         else:
             st.info("no tracked floor coordinates in this session")
+    with tab_train:
+        # Fine-tune runs (tools/train_detr.py checkpoints under runs/):
+        # loss curve + per-eval quality table + recipe KPIs.
+        from .dashboard_utils import (
+            list_training_runs,
+            load_training_history,
+            training_summary,
+        )
+
+        runs = list_training_runs("runs")
+        if not runs:
+            st.info("no training runs under runs/ (tools/train_detr.py "
+                    "--checkpoint runs/<name>)")
+        else:
+            run = st.selectbox("Training run", runs)
+            history = load_training_history(Path("runs") / run)
+            if history is None:
+                st.warning("history.json unreadable")
+            else:
+                s = training_summary(history)
+                cols = st.columns(4)
+                cols[0].metric("steps", s["steps"])
+                cols[1].metric("last epoch loss",
+                               f"{s['last_loss']:.3f}" if s["last_loss"]
+                               is not None else "—")
+                cols[2].metric("best eval F1",
+                               f"{s.get('best_f1', 0):.3f}"
+                               if "best_f1" in s else "—")
+                cols[3].metric("best eval mAP",
+                               f"{s.get('best_map', 0):.3f}"
+                               if "best_map" in s else "—")
+                if s["recipe"]:
+                    st.caption(f"recipe: {s['recipe']}")
+                epochs = [e for e in history.get("epoch_losses", [])
+                          if e is not None]
+                if epochs:
+                    st.line_chart(pd.DataFrame({"epoch loss": epochs}))
+                if history.get("evals"):
+                    st.dataframe(pd.DataFrame(history["evals"]))
 
 
 if __name__ == "__main__":  # pragma: no cover

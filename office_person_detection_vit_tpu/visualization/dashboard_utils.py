@@ -160,3 +160,54 @@ class SessionDataLoader:
             floor = np.asarray(transformer.transform_batch(feet))
             traj[int(t["track_id"])] = [(float(x), float(y)) for x, y in floor]
         return traj
+
+
+# ---------------------------------------------------------- training runs
+def list_training_runs(base_dir: str | Path) -> list[str]:
+    """Checkpoint directories under ``base_dir`` that carry a trainer
+    ``history.json`` (tools/train_detr.py), newest first."""
+    base = Path(base_dir)
+    if not base.is_dir():
+        return []
+    runs = [p for p in base.iterdir() if (p / "history.json").is_file()]
+    runs.sort(key=lambda p: (p / "history.json").stat().st_mtime,
+              reverse=True)
+    return [p.name for p in runs]
+
+
+def load_training_history(run_dir: str | Path) -> dict[str, Any] | None:
+    """The trainer's history.json (step/epoch losses, config, evals), or
+    None when unreadable."""
+    path = Path(run_dir) / "history.json"
+    try:
+        return json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        logger.warning("unreadable training history %s", path)
+        return None
+
+
+def training_summary(history: dict[str, Any]) -> dict[str, Any]:
+    """KPI row for a training run: steps, first/last/best epoch loss, the
+    best eval F1/mAP when the run evaluated, and the recipe knobs."""
+    epochs = [e for e in history.get("epoch_losses", []) if e is not None]
+    evals = history.get("evals", [])
+    cfg = history.get("config", {})
+    out: dict[str, Any] = {
+        "steps": len(history.get("step_losses", [])),
+        "epochs": len(epochs),
+        "first_loss": epochs[0] if epochs else None,
+        "last_loss": epochs[-1] if epochs else None,
+        "best_loss": min(epochs) if epochs else None,
+        "resumed_at_step": history.get("resumed_at_step"),
+        "recipe": {
+            k: cfg.get(k)
+            for k in ("schedule", "warmup_steps", "accum_steps", "ema",
+                      "augment")
+            if cfg.get(k) not in (None, "none", 0, 0.0, False, 1)
+        },
+    }
+    if evals:
+        out["best_f1"] = max(e.get("f1_score", 0.0) for e in evals)
+        out["best_map"] = max(e.get("map_50_95", 0.0) for e in evals)
+        out["evals"] = len(evals)
+    return out

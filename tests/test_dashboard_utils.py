@@ -138,3 +138,66 @@ class TestFloorTrajectories:
 
     def test_no_artifacts_no_config_empty(self, tmp_path):
         assert SessionDataLoader(_session(tmp_path)).floor_trajectories() == {}
+
+
+class TestTrainingRunsView:
+    """Dashboard training tab helpers: list runs, load history, KPI
+    summary (tools/train_detr.py history.json contract)."""
+
+    def _run(self, base, name, evals=True, **cfg):
+        import json
+
+        d = base / name
+        d.mkdir(parents=True)
+        h = {
+            "step_losses": [9.0, 8.0, 7.0, 6.5],
+            "epoch_losses": [8.5, 6.75],
+            "config": {"schedule": "cosine", "warmup_steps": 2,
+                       "accum_steps": 1, "ema": 0.99, "augment": True,
+                       **cfg},
+        }
+        if evals:
+            h["evals"] = [
+                {"epoch": 0, "f1_score": 0.0, "map_50_95": 0.0},
+                {"epoch": 2, "f1_score": 0.8, "map_50_95": 0.4},
+            ]
+        (d / "history.json").write_text(json.dumps(h))
+        return d
+
+    def test_list_and_summary(self, tmp_path):
+        from office_person_detection_vit_tpu.visualization.dashboard_utils import (
+            list_training_runs,
+            load_training_history,
+            training_summary,
+        )
+
+        self._run(tmp_path, "run_a")
+        self._run(tmp_path, "run_b", evals=False)
+        (tmp_path / "not_a_run").mkdir()
+        runs = list_training_runs(tmp_path)
+        assert set(runs) == {"run_a", "run_b"}
+
+        h = load_training_history(tmp_path / "run_a")
+        s = training_summary(h)
+        assert s["steps"] == 4 and s["epochs"] == 2
+        assert s["last_loss"] == 6.75 and s["best_loss"] == 6.75
+        assert s["best_f1"] == 0.8 and s["best_map"] == 0.4
+        # Recipe KPIs include only the non-default knobs.
+        assert s["recipe"]["schedule"] == "cosine"
+        assert s["recipe"]["ema"] == 0.99
+        assert "accum_steps" not in s["recipe"]  # default 1 filtered
+
+        s2 = training_summary(load_training_history(tmp_path / "run_b"))
+        assert "best_f1" not in s2
+
+    def test_unreadable_history_is_none(self, tmp_path):
+        from office_person_detection_vit_tpu.visualization.dashboard_utils import (
+            list_training_runs,
+            load_training_history,
+        )
+
+        assert list_training_runs(tmp_path / "missing") == []
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "history.json").write_text("{not json")
+        assert load_training_history(d) is None
