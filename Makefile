@@ -43,6 +43,14 @@ bench-e2e:
 serve:
 	$(PYTHON) tools/serve.py --port 8500
 
+export:  ## portable StableHLO artifact of the detect program (+ weights)
+	$(PYTHON) tools/export_stablehlo.py --output runs/detect.stablehlo \
+		--weights-out runs/detect_weights.npz --validate
+
+serve-artifact:  ## serve from the exported artifact (model-free bring-up)
+	$(PYTHON) tools/serve.py --artifact runs/detect.stablehlo \
+		--weights runs/detect_weights.npz --port 8500
+
 dashboard:
 	streamlit run office_person_detection_vit_tpu/visualization/dashboard_app.py
 

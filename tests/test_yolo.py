@@ -396,3 +396,35 @@ class TestYOLODetectorFacade:
         frames = np.random.default_rng(1).integers(0, 255, (1, 64, 96, 3), np.uint8)
         batch = det.detect_batch(frames)
         assert batch.scores.shape == (1, 10)
+
+
+def test_stablehlo_export_yolo_family(tmp_path):
+    """The YOLO family exports/reloads through detection/export.py with
+    the same flat-output contract as DETR/SSD (dynamic batch default)."""
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.export import (
+        export_detect,
+        load_exported,
+        run_exported,
+        save_exported,
+    )
+    from office_person_detection_vit_tpu.detection.yolo_detector import YOLODetector
+    from office_person_detection_vit_tpu.models.yolo import YOLOConfig
+
+    cfg = ConfigManager.from_dict(
+        {"detection": {"confidence_threshold": 0.0, "batch_size": 2,
+                       "input_height": 96, "input_width": 128}}
+    )
+    det = YOLODetector(cfg, yolo_config=YOLOConfig.tiny())
+    det.load_model()
+    path = tmp_path / "yolo.stablehlo"
+    save_exported(export_detect(det, source_hw=(96, 128), platforms=None),
+                  path)
+    frames = np.random.default_rng(2).integers(0, 255, (3, 96, 128, 3),
+                                               np.uint8)
+    out = run_exported(load_exported(path), det.variables, frames,
+                       orig_wh=(128.0, 96.0), conf=0.0)
+    ref = det.detect_batch(frames)
+    np.testing.assert_allclose(out["boxes_xywh"], np.asarray(ref.boxes_xywh),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))
