@@ -140,15 +140,30 @@ class FrameExtractionPipeline:
             logger.error("could not open video %s", self.video_path)
             return []
         try:
-            stride = self._coarse_stride()
+            # Auto-targets selects scanned frames directly (no fine pass),
+            # so the scan grid must be dense enough in WALL-CLOCK terms:
+            # under timelapse compression a video-seconds stride of 5 s is
+            # 5*ratio wall seconds (~26 min at the production ratio 313) —
+            # no scanned frame would land within tolerance of any 5-minute
+            # target. Cap the stride so scanned frames are at most
+            # tolerance_seconds apart in wall clock (worst-case target
+            # error = tolerance/2).
+            scan_interval = min(
+                self.coarse_interval,
+                max(self.tolerance_seconds / self.compression_ratio,
+                    1.0 / self.fps),
+            )
+            stride = max(1, int(round(scan_interval * self.fps)))
             scan_frames = list(
-                CoarseSampler(self.coarse_interval, self.fps).sample(
+                CoarseSampler(scan_interval, self.fps).sample(
                     self.video.frame_count
                 )
             )[: self.max_scan_frames]
             logger.info(
-                "auto-targets scan: %d frames at stride %d (video has %d)",
+                "auto-targets scan: %d frames at stride %d (video has %d; "
+                "wall gap %.0fs)",
                 len(scan_frames), stride, self.video.frame_count,
+                stride / self.fps * self.compression_ratio,
             )
 
             # Prefetch decode on a host thread (sequential strided read —

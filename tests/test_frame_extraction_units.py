@@ -138,3 +138,40 @@ class TestResNetBackbone:
         # no batch statistics: identical for any other batch content scale
         out2 = np.asarray(bn.apply(vars_, x * 100))
         np.testing.assert_allclose(out2, np.asarray(x) * 100 * scale + bias, atol=1e-4)
+
+
+class TestProductionScanDensity:
+    """Regression: auto-targets selects scanned frames directly (no fine
+    pass), so the coarse stride must be capped in WALL-CLOCK terms. At the
+    production config (coarse 5 s video, ratio 313, tolerance 60 s) the
+    uncapped stride put scanned frames ~26 wall-minutes apart and 15/16
+    five-minute targets failed tolerance; the cap lands every target."""
+
+    def test_full_grid_extracts_at_production_config(self, tmp_path):
+        video = tmp_path / "v.mp4"
+        write_video(video, num_frames=300, fps=30)  # ~52 wall-minutes
+        cfg = ConfigManager.from_dict(
+            {
+                "video": {
+                    "input_path": str(video), "fps": 30,
+                    "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                    "time_compression_ratio": 313.0,
+                },
+                "timestamp": {
+                    "extraction_mode": "auto_targets",
+                    "sampling": {"coarse_interval_seconds": 5.0},
+                    "auto_targets": {"disable_validation": True},
+                    "extraction": {"confidence_threshold": 0.3},
+                },
+                "output": {"directory": str(tmp_path / "out"),
+                           "save_extracted_frames": False},
+            }
+        )
+        fx = FrameExtractionPipeline(cfg, output_dir=tmp_path / "out" / "01")
+        rows = fx.run_with_auto_targets()
+        # 300 frames * 313/30 s/frame ~ 52 min -> 9-10 five-minute targets.
+        assert len(rows) >= 9, [r.target_timestamp for r in rows]
+        assert all(r.time_error_seconds <= 60 for r in rows)
+        # Wall gap between consecutive SELECTED frames tracks the grid.
+        gaps = np.diff([r.timestamp.timestamp() for r in rows])
+        assert np.all(gaps > 200) and np.all(gaps < 400)
