@@ -315,9 +315,37 @@ class FrameExtractionPipeline:
     ) -> ExtractedFrame | None:
         """Fine scan ±search_window around the approximate frame; keep
         candidates within tolerance and pick min |Δt| (reference :230-271)."""
-        sampler = FineSampler(self.fine_interval, self.search_window, self.fps)
+        # Wall-aware under timelapse compression: the fine step is capped
+        # so consecutive samples are at most tolerance/2 apart in WALL
+        # clock (a 1 s video step is ~5 wall-minutes at ratio 313 — it
+        # would jump straight over the 60 s tolerance window), and the
+        # scan centers on the frame PREDICTED from the approximate frame's
+        # own timestamp via the time-compression map, so the window stays
+        # small.
+        center = approx_frame
+        frame = self.video.get_frame(approx_frame)
+        if frame is not None:
+            ts, _ = self.extractor.extract(frame, approx_frame)
+            if ts is not None:
+                delta_wall = (target - ts).total_seconds()
+                offset = int(round(
+                    delta_wall / self.compression_ratio * self.fps
+                ))
+                center = int(np.clip(approx_frame + offset, 0,
+                                     max(self.video.frame_count - 1, 0)))
+        step_s = min(
+            self.fine_interval,
+            max(self.tolerance_seconds / (2 * self.compression_ratio),
+                1.0 / self.fps),
+        )
+        window_s = min(
+            self.search_window,
+            max(2 * self.tolerance_seconds / self.compression_ratio,
+                3 * step_s),
+        )
+        sampler = FineSampler(step_s, window_s, self.fps)
         best: ExtractedFrame | None = None
-        for fn in sampler.sample_around_target(approx_frame, self.video.frame_count):
+        for fn in sampler.sample_around_target(center, self.video.frame_count):
             frame = self.video.get_frame(fn)
             if frame is None:
                 continue

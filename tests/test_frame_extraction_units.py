@@ -175,3 +175,38 @@ class TestProductionScanDensity:
         # Wall gap between consecutive SELECTED frames tracks the grid.
         gaps = np.diff([r.timestamp.timestamp() for r in rows])
         assert np.all(gaps > 200) and np.all(gaps < 400)
+
+    def test_manual_targets_fine_search_is_wall_aware(self, tmp_path):
+        """Manual-target mode at the production config: the fine step used
+        to be 1 VIDEO second (~5 wall-minutes at ratio 313), jumping over
+        the 60 s tolerance window (2/6 targets lost on this sequence); the
+        wall-aware step + compression-predicted centering finds every
+        target."""
+        from datetime import datetime
+
+        video = tmp_path / "v.mp4"
+        write_video(video, num_frames=300, fps=30)
+        cfg = ConfigManager.from_dict(
+            {
+                "video": {
+                    "input_path": str(video), "fps": 30,
+                    "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                    "time_compression_ratio": 313.0,
+                },
+                "timestamp": {
+                    "sampling": {"coarse_interval_seconds": 5.0,
+                                 "fine_interval_seconds": 1.0,
+                                 "search_window_seconds": 30.0},
+                    "auto_targets": {"disable_validation": True},
+                    "extraction": {"confidence_threshold": 0.3},
+                },
+                "output": {"directory": str(tmp_path / "out"),
+                           "save_extracted_frames": False},
+            }
+        )
+        fx = FrameExtractionPipeline(cfg, output_dir=tmp_path / "out" / "01")
+        t0 = datetime(2025, 1, 20, 9, 5, 0)
+        targets = [t0 + timedelta(minutes=5 * i) for i in range(6)]
+        rows = fx.run(targets)
+        assert len(rows) == 6, [str(r.target_timestamp) for r in rows]
+        assert all(r.time_error_seconds <= 60 for r in rows)
