@@ -136,6 +136,12 @@ def run_exported(exported, variables: Any, frames_u8: np.ndarray,
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+#: npz cannot round-trip extended dtypes (ml_dtypes.bfloat16 reloads as
+#: void '|V2'); such leaves are stored as raw uint16/uint8 views under a
+#: dtype-tagged key suffix and viewed back at load.
+_DTYPE_TAG = "##dtype="
+
+
 def save_weights_npz(variables: Any, path: Path) -> int:
     """Persist a (nested-dict) variables pytree as a path-keyed npz —
     reconstructable WITHOUT the model code or a tree template (unlike the
@@ -145,7 +151,11 @@ def save_weights_npz(variables: Any, path: Path) -> int:
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
         name = "/".join(getattr(k, "key", str(k)) for k in keypath)
-        flat[name] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.kind not in "biufc":  # extended dtype (e.g. bfloat16)
+            name = f"{name}{_DTYPE_TAG}{arr.dtype.name}"
+            arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+        flat[name] = arr
     np.savez(path, **flat)
     return len(flat)
 
@@ -155,11 +165,17 @@ def load_weights_npz(path: Path) -> dict:
     out: dict = {}
     with np.load(path) as data:
         for name in data.files:
+            arr = data[name]
+            if _DTYPE_TAG in name:
+                name, dtype_name = name.split(_DTYPE_TAG)
+                import ml_dtypes  # ships with jax
+
+                arr = arr.view(np.dtype(getattr(ml_dtypes, dtype_name)))
             node = out
             parts = name.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = data[name]
+            node[parts[-1]] = arr
     return out
 
 
@@ -199,6 +215,25 @@ class ExportedDetector:
     def load_model(self) -> None:  # contract no-op: artifact is the model
         pass
 
+    def _bucket_sizes(self) -> list[int]:
+        """Power-of-2 warm set, same contract as DETRDetector (serve.py
+        warms every bucket at startup so no request size pays a compile)."""
+        if self.exported_batch is not None:
+            return [self.exported_batch]
+        sizes, b = [], 1
+        while b < self.batch_size:
+            sizes.append(b)
+            b <<= 1
+        return sizes + [self.batch_size]
+
+    def _bucket(self, n: int) -> int:
+        if self.exported_batch is not None:
+            return self.exported_batch
+        b = 1
+        while b < n:
+            b <<= 1
+        return min(b, self.batch_size)
+
     def detect_batch(self, frames: np.ndarray):
         import cv2
 
@@ -208,22 +243,27 @@ class ExportedDetector:
         h, w = self.source_hw
         if (H0, W0) != (h, w):
             frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
-        pad = 0
-        if self.exported_batch is not None:
-            pad = (-F) % self.exported_batch
-            if pad:
-                frames = np.concatenate(
-                    [frames, np.zeros((pad, h, w, 3), np.uint8)]
-                )
         outs = []
-        step = self.exported_batch or F
-        for i in range(0, len(frames), step):
-            outs.append(run_exported(
-                self.exported, self.variables, frames[i:i + step],
+        i = 0
+        # Dynamic artifacts XLA-specialize per concrete batch shape, so pad
+        # every dispatch up to a power-of-2 bucket (bounded compile set,
+        # like the live detector); fixed artifacts pad to their baked size.
+        while i < F:
+            n = min(self.batch_size, F - i)
+            m = self._bucket(n)
+            part = frames[i:i + n]
+            if len(part) < m:
+                part = np.concatenate(
+                    [part, np.zeros((m - len(part), h, w, 3), np.uint8)]
+                )
+            out = run_exported(
+                self.exported, self.variables, part,
                 orig_wh=(float(W0), float(H0)),
                 conf=self.confidence_threshold,
-            ))
-        cat = {k: np.concatenate([o[k] for o in outs])[:F] for k in outs[0]}
+            )
+            outs.append({k: v[:n] for k, v in out.items()})
+            i += n
+        cat = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
         import jax.numpy as jnp
 
         return DetectionBatch(

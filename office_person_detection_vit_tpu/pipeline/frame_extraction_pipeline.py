@@ -92,9 +92,6 @@ class FrameExtractionPipeline:
         floored to at least one frame (reference :574-582)."""
         return max(actual_seconds / self.compression_ratio, 1.0 / self.fps)
 
-    def _coarse_stride(self) -> int:
-        return max(1, int(round(self.coarse_interval * self.fps)))
-
     def _save_frame(self, frame: np.ndarray, ts: datetime) -> str:
         frames_dir = self.output_dir / "frames"
         frames_dir.mkdir(parents=True, exist_ok=True)
@@ -147,23 +144,37 @@ class FrameExtractionPipeline:
             # no scanned frame would land within tolerance of any 5-minute
             # target. Cap the stride so scanned frames are at most
             # tolerance_seconds apart in wall clock (worst-case target
-            # error = tolerance/2).
+            # error = tolerance/2)...
             scan_interval = min(
                 self.coarse_interval,
-                max(self.tolerance_seconds / self.compression_ratio,
-                    1.0 / self.fps),
+                self._to_video_seconds(self.tolerance_seconds),
             )
-            stride = max(1, int(round(scan_interval * self.fps)))
-            scan_frames = list(
-                CoarseSampler(scan_interval, self.fps).sample(
-                    self.video.frame_count
+            # ...but never truncate COVERAGE: if the densified grid exceeds
+            # the max_scan_frames budget, widen the stride to span the
+            # whole video within it (coverage beats density — a sparser
+            # grid degrades time error gracefully, truncation silently
+            # drops every target past the cutoff).
+            budget_interval = self.video.frame_count / max(
+                self.max_scan_frames, 1) / self.fps
+            if budget_interval > scan_interval:
+                logger.warning(
+                    "auto-targets scan capped at %d frames: stride widened "
+                    "to %.2fs video (%.0fs wall) > tolerance-ideal %.2fs; "
+                    "raise timestamp.auto_targets.max_frames for tighter "
+                    "time errors",
+                    self.max_scan_frames, budget_interval,
+                    budget_interval * self.compression_ratio, scan_interval,
                 )
+                scan_interval = budget_interval
+            sampler = CoarseSampler(scan_interval, self.fps)
+            scan_frames = list(
+                sampler.sample(self.video.frame_count)
             )[: self.max_scan_frames]
             logger.info(
                 "auto-targets scan: %d frames at stride %d (video has %d; "
                 "wall gap %.0fs)",
-                len(scan_frames), stride, self.video.frame_count,
-                stride / self.fps * self.compression_ratio,
+                len(scan_frames), sampler.stride, self.video.frame_count,
+                sampler.stride / self.fps * self.compression_ratio,
             )
 
             # Prefetch decode on a host thread (sequential strided read —
@@ -321,44 +332,54 @@ class FrameExtractionPipeline:
         # would jump straight over the 60 s tolerance window), and the
         # scan centers on the frame PREDICTED from the approximate frame's
         # own timestamp via the time-compression map, so the window stays
-        # small.
-        center = approx_frame
+        # small. When centering fails (unreadable approx frame) or misleads
+        # (misOCR'd digit), a second pass rescans the FULL ±search_window
+        # around the coarse hit — the pre-compression-fix behavior — so a
+        # single bad read cannot drop the target.
+        center: int | None = None
         frame = self.video.get_frame(approx_frame)
         if frame is not None:
             ts, _ = self.extractor.extract(frame, approx_frame)
             if ts is not None:
-                delta_wall = (target - ts).total_seconds()
-                offset = int(round(
-                    delta_wall / self.compression_ratio * self.fps
-                ))
+                offset = int(round(self.fps * self._to_video_seconds(
+                    abs((target - ts).total_seconds())
+                ) * (1 if target >= ts else -1)))
                 center = int(np.clip(approx_frame + offset, 0,
                                      max(self.video.frame_count - 1, 0)))
-        step_s = min(
-            self.fine_interval,
-            max(self.tolerance_seconds / (2 * self.compression_ratio),
-                1.0 / self.fps),
-        )
-        window_s = min(
+        step_s = min(self.fine_interval,
+                     self._to_video_seconds(self.tolerance_seconds / 2))
+        narrow_window_s = min(
             self.search_window,
-            max(2 * self.tolerance_seconds / self.compression_ratio,
+            max(self._to_video_seconds(2 * self.tolerance_seconds),
                 3 * step_s),
         )
-        sampler = FineSampler(step_s, window_s, self.fps)
-        best: ExtractedFrame | None = None
-        for fn in sampler.sample_around_target(center, self.video.frame_count):
-            frame = self.video.get_frame(fn)
-            if frame is None:
-                continue
-            ts, conf = self.extractor.extract(frame, fn)
-            if ts is None:
-                continue
-            err = abs((ts - target).total_seconds())
-            if err <= self.tolerance_seconds and (best is None or err < best.time_error_seconds):
-                best = ExtractedFrame(
-                    frame_number=fn,
-                    timestamp=ts,
-                    target_timestamp=target,
-                    confidence=conf,
-                    time_error_seconds=err,
-                )
-        return best
+        passes = []
+        if center is not None:
+            passes.append((center, narrow_window_s))
+        passes.append((approx_frame, self.search_window))  # wide fallback
+        for pass_center, window_s in passes:
+            sampler = FineSampler(step_s, window_s, self.fps)
+            best: ExtractedFrame | None = None
+            for fn in sampler.sample_around_target(
+                pass_center, self.video.frame_count
+            ):
+                frame = self.video.get_frame(fn)
+                if frame is None:
+                    continue
+                ts, conf = self.extractor.extract(frame, fn)
+                if ts is None:
+                    continue
+                err = abs((ts - target).total_seconds())
+                if err <= self.tolerance_seconds and (
+                    best is None or err < best.time_error_seconds
+                ):
+                    best = ExtractedFrame(
+                        frame_number=fn,
+                        timestamp=ts,
+                        target_timestamp=target,
+                        confidence=conf,
+                        time_error_seconds=err,
+                    )
+            if best is not None:
+                return best
+        return None

@@ -199,11 +199,15 @@ def training_summary(history: dict[str, Any]) -> dict[str, Any]:
         "last_loss": epochs[-1] if epochs else None,
         "best_loss": min(epochs) if epochs else None,
         "resumed_at_step": history.get("resumed_at_step"),
+        # Show only non-default knobs. Identity-aware: `True == 1` in
+        # Python, so a naive `not in (..., 1)` would hide augment=True.
         "recipe": {
-            k: cfg.get(k)
-            for k in ("schedule", "warmup_steps", "accum_steps", "ema",
-                      "augment")
-            if cfg.get(k) not in (None, "none", 0, 0.0, False, 1)
+            k: v
+            for k, v in ((k, cfg.get(k)) for k in (
+                "schedule", "warmup_steps", "accum_steps", "ema", "augment"))
+            if not (v is None or v is False
+                    or (not isinstance(v, bool)
+                        and v in ("none", 0, 0.0, 1)))
         },
     }
     if evals:

@@ -185,6 +185,7 @@ class TestTrainingRunsView:
         # Recipe KPIs include only the non-default knobs.
         assert s["recipe"]["schedule"] == "cosine"
         assert s["recipe"]["ema"] == 0.99
+        assert s["recipe"]["augment"] is True  # True == 1 must NOT filter
         assert "accum_steps" not in s["recipe"]  # default 1 filtered
 
         s2 = training_summary(load_training_history(tmp_path / "run_b"))

@@ -373,3 +373,25 @@ def test_stablehlo_export_dynamic_batch(tiny_detector, tmp_path):
                                    np.asarray(ref.boxes_xywh),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))
+
+
+def test_weights_npz_roundtrips_extended_dtypes(tmp_path):
+    """save/load_weights_npz must round-trip bfloat16 leaves (npz alone
+    degrades them to void '|V2'); stored as uint16 views + dtype tag."""
+    import ml_dtypes
+
+    from office_person_detection_vit_tpu.detection.export import (
+        load_weights_npz,
+        save_weights_npz,
+    )
+
+    v = {"params": {"w": np.arange(6, dtype=ml_dtypes.bfloat16).reshape(2, 3),
+                    "b": np.ones(3, np.float32)}}
+    save_weights_npz(v, tmp_path / "w.npz")
+    got = load_weights_npz(tmp_path / "w.npz")
+    assert got["params"]["w"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got["params"]["w"].astype(np.float32),
+        v["params"]["w"].astype(np.float32),
+    )
+    np.testing.assert_array_equal(got["params"]["b"], v["params"]["b"])

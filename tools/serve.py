@@ -171,7 +171,9 @@ def main(argv: list[str] | None = None) -> int:
             confidence_threshold=args.confidence,
         )
         h, w = detector.source_hw
-        detector.detect_batch(np.zeros((1, h, w, 3), np.uint8))  # warm
+        for b in detector._bucket_sizes():  # warm every bucket program
+            detector.detect_batch(np.zeros((b, h, w, 3), np.uint8))
+            logger.info("warmed bucket %d", b)
         model_name = f"exported:{args.artifact.name}"
     else:
         from office_person_detection_vit_tpu.config.config_manager import (
