@@ -210,3 +210,40 @@ class TestProductionScanDensity:
         rows = fx.run(targets)
         assert len(rows) == 6, [str(r.target_timestamp) for r in rows]
         assert all(r.time_error_seconds <= 60 for r in rows)
+
+    def test_scan_budget_widens_stride_instead_of_truncating(self, tmp_path,
+                                                             caplog):
+        """When the tolerance-dense grid exceeds max_scan_frames, the
+        stride widens to cover the WHOLE video within the budget (with a
+        warning) — never silently truncating coverage to the video's
+        start."""
+        import logging
+
+        video = tmp_path / "v.mp4"
+        write_video(video, num_frames=300, fps=30)
+        cfg = ConfigManager.from_dict(
+            {
+                "video": {
+                    "input_path": str(video), "fps": 30,
+                    "frame_interval_minutes": 5, "tolerance_seconds": 60,
+                    "time_compression_ratio": 313.0,
+                },
+                "timestamp": {
+                    "extraction_mode": "auto_targets",
+                    "sampling": {"coarse_interval_seconds": 5.0},
+                    "auto_targets": {"disable_validation": True,
+                                     "max_frames": 20},
+                    "extraction": {"confidence_threshold": 0.3},
+                },
+                "output": {"directory": str(tmp_path / "out"),
+                           "save_extracted_frames": False},
+            }
+        )
+        fx = FrameExtractionPipeline(cfg, output_dir=tmp_path / "out" / "01")
+        with caplog.at_level(logging.WARNING):
+            rows = fx.run_with_auto_targets()
+        assert any("stride widened" in r.message for r in caplog.records)
+        # Coverage reaches the video's tail: the last selected frame sits
+        # in the final quarter (old behavior: scan stopped at frame
+        # 20*6=120 of 300, dropping everything after).
+        assert rows and max(r.frame_number for r in rows) > 200
