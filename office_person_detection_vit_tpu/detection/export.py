@@ -122,12 +122,33 @@ def load_exported(path: Path):
     return jax.export.deserialize(Path(path).read_bytes())
 
 
+#: ``Exported.call`` re-traces the deserialized module on EVERY invocation
+#: (seconds per call for the full model); wrap it in jax.jit once per
+#: Exported so repeat calls hit the executable cache.
+_jitted_calls: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def jitted_call(exported):
+    import weakref
+
+    import jax
+
+    global _jitted_calls
+    if _jitted_calls is None:
+        _jitted_calls = weakref.WeakKeyDictionary()
+    fn = _jitted_calls.get(exported)
+    if fn is None:
+        fn = jax.jit(exported.call)
+        _jitted_calls[exported] = fn
+    return fn
+
+
 def run_exported(exported, variables: Any, frames_u8: np.ndarray,
                  orig_wh=(1280.0, 720.0), conf: float = 0.5) -> dict:
-    """Convenience host wrapper around ``Exported.call``."""
+    """Convenience host wrapper around the (cached-jit) exported module."""
     import jax.numpy as jnp
 
-    out = exported.call(
+    out = jitted_call(exported)(
         variables,
         jnp.asarray(frames_u8),
         jnp.asarray(orig_wh, jnp.float32),
@@ -194,8 +215,13 @@ class ExportedDetector:
 
     def __init__(self, artifact_path: Path, weights_path: Path,
                  confidence_threshold: float = 0.5, batch_size: int = 8):
+        import jax
+
         self.exported = load_exported(artifact_path)
-        self.variables = load_weights_npz(weights_path)
+        # Resident on device ONCE: leaving the weights as host numpy would
+        # re-upload the whole tree on every call (~160 MB/request for the
+        # full model — seconds over the remote tunnel).
+        self.variables = jax.device_put(load_weights_npz(weights_path))
         self.confidence_threshold = float(confidence_threshold)
         # in_avals is the FLAT list of input leaves; the frames input is
         # the unique rank-4 uint8 aval (weights are float/int32 params).

@@ -181,3 +181,31 @@ class TestExportedServing:
         out = b.submit(np.zeros((96, 128, 3), np.uint8))
         assert isinstance(out, list)
         assert b.stats["requests"] == 1
+
+    def test_exported_call_is_cached_jit(self, artifact):
+        """Exported.call re-traces the module per invocation (seconds per
+        call at full scale); jitted_call must hand back ONE cached jit per
+        Exported so repeat requests hit the executable cache."""
+        from office_person_detection_vit_tpu.detection.export import (
+            jitted_call,
+            load_exported,
+        )
+
+        _, d = artifact
+        exp = load_exported(d / "m.stablehlo")
+        assert jitted_call(exp) is jitted_call(exp)
+
+    def test_weights_resident_on_device(self, artifact):
+        """ExportedDetector device_puts the weights once — host-numpy
+        leaves would re-upload the whole tree (~160 MB for the full model)
+        on every request."""
+        import jax
+
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        _, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz")
+        leaves = jax.tree_util.tree_leaves(ed.variables)
+        assert all(isinstance(l, jax.Array) for l in leaves)
