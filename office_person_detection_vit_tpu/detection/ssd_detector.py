@@ -79,14 +79,16 @@ class SSDDetector:
     def load_model(self) -> None:
         rng = jax.random.PRNGKey(0)
         ckpt = self.checkpoint_path
-        if ckpt and Path(str(ckpt)).is_dir():
-            import orbax.checkpoint as ocp
+        p = Path(str(ckpt)) if ckpt else None
+        if p is not None and (p.is_dir() or (p.is_file() and p.suffix == ".npz")):
+            # Orbax dir or the trainer's flat-leaf weights.npz
+            # (tools/train_detr.py --model yolo/ssd output) — npz needs the
+            # random-init variables as the tree template.
+            from ..models.weights import load_any_checkpoint
 
-            self.model = self._make_model()
-            self.variables = ocp.StandardCheckpointer().restore(
-                Path(str(ckpt)).resolve()
-            )
-            logger.info("loaded orbax checkpoint from %s", ckpt)
+            self.model, template = self._random_init(rng)
+            self.variables = load_any_checkpoint(p, template=template)
+            logger.info("loaded checkpoint from %s", ckpt)
         else:
             if ckpt:
                 logger.warning("checkpoint %s not found; using random init", ckpt)

@@ -428,3 +428,33 @@ def test_stablehlo_export_yolo_family(tmp_path):
     np.testing.assert_allclose(out["boxes_xywh"], np.asarray(ref.boxes_xywh),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(out["valid"], np.asarray(ref.valid))
+
+
+def test_yolo_detector_loads_trainer_npz(tmp_path):
+    """detection.checkpoint_path accepts the trainer's flat-leaf
+    weights.npz for the YOLO/SSD families (previously orbax-dir only —
+    the trained-on-TPU -> pipeline closed loop needs this)."""
+    import jax
+
+    from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+    from office_person_detection_vit_tpu.detection.yolo_detector import YOLODetector
+    from office_person_detection_vit_tpu.models.yolo import YOLOConfig, init_yolo
+
+    cfg0 = YOLOConfig.tiny()
+    _, variables = init_yolo(cfg0, jax.random.PRNGKey(3), input_hw=(64, 64))
+    marked = jax.tree_util.tree_map(lambda x: x + 0 * x, variables)
+    leaves = jax.tree_util.tree_leaves(jax.device_get(marked))
+    np.savez(tmp_path / "weights.npz",
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+    cfg = ConfigManager.from_dict(
+        {"detection": {"confidence_threshold": 0.5, "batch_size": 2,
+                       "model_size": "tiny",
+                       "checkpoint_path": str(tmp_path / "weights.npz"),
+                       "input_height": 96, "input_width": 128}}
+    )
+    det = YOLODetector(cfg)
+    det.load_model()
+    got = jax.tree_util.tree_leaves(jax.device_get(det.variables))
+    for a, b in zip(got, leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
