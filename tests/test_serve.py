@@ -209,3 +209,30 @@ class TestExportedServing:
         ed = ExportedDetector(d / "m.stablehlo", d / "w.npz")
         leaves = jax.tree_util.tree_leaves(ed.variables)
         assert all(isinstance(l, jax.Array) for l in leaves)
+
+    def test_fixed_batch_artifact_chunks_and_pads(self, artifact, tmp_path):
+        """A fixed-batch artifact serving F > exported_batch frames chunks
+        into padded dispatches and strips padding - results match the live
+        detector exactly."""
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+            export_detect,
+            save_exported,
+        )
+
+        det, d = artifact
+        save_exported(export_detect(det, batch_size=2, source_hw=(96, 128),
+                                    platforms=None), tmp_path / "b2.stablehlo")
+        ed = ExportedDetector(tmp_path / "b2.stablehlo", d / "w.npz",
+                              confidence_threshold=det.confidence_threshold)
+        assert ed.exported_batch == 2
+        frames = np.random.default_rng(4).integers(0, 255, (5, 96, 128, 3),
+                                                   np.uint8)
+        got = ed.detect_batch(frames)  # 3 dispatches: 2+2+2(pad 1)
+        assert np.asarray(got.scores).shape[0] == 5
+        ref = det.detect_batch(frames)
+        np.testing.assert_allclose(np.asarray(got.boxes_xywh),
+                                   np.asarray(ref.boxes_xywh),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
