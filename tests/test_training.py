@@ -898,14 +898,14 @@ class TestTrainEval:
         assert best_map > first["map_50_95"] and best_map >= 0.1
 
     def test_committed_recipe_comparison_shows_generalization_gain(self):
-        """Controlled comparison on the real chip
+        """Seed-0 case study on the real chip
         (docs/artifacts/train_recipe_compare_{plain,recipe}.json): same
         synthetic data / steps / lr, the val set distribution-shifted
-        (mirrored objects + out-of-range global gain) so plain training
-        cannot cover it. The full recipe (--schedule cosine
-        --warmup-steps 10 --ema 0.99 --augment) must beat plain on final
-        F1 / AP50 / mAP and avoid plain's early-lr divergence (provenance:
-        docs/training.md recipe-comparison section)."""
+        (mirrored objects + out-of-range global gain). In THIS run the
+        full recipe beat plain on every final metric and its worst epoch
+        loss was ~10x tamer; the 3-seed replication
+        (test_committed_recipe_replication below) shows the honest general
+        picture — recipe F1 1.0 at every seed, plain failing 1-in-3."""
         import json
         from pathlib import Path
 
@@ -925,6 +925,22 @@ class TestTrainEval:
         # Plain at lr 3e-3 with no warmup diverged mid-run (loss spike
         # ~1e5) before recovering; the recipe's worst epoch is ~10x tamer.
         assert max(plain["epoch_losses"]) > 5 * max(recipe["epoch_losses"])
+
+    def test_committed_recipe_replication(self):
+        """3-seed replication artifact
+        (docs/artifacts/train_recipe_replicates.json): the recipe's edge
+        is RELIABILITY — F1 1.0 at every seed while plain fails at least
+        one seed; mean mAP at least matches plain."""
+        import json
+        from pathlib import Path
+
+        arts = Path(__file__).resolve().parents[1] / "docs" / "artifacts"
+        doc = json.loads((arts / "train_recipe_replicates.json").read_text())
+        s = doc["summary"]
+        assert len(s["recipe_final_f1"]) == 3
+        assert all(f >= 0.99 for f in s["recipe_final_f1"])
+        assert min(s["plain_final_f1"]) < 0.99  # plain failed a seed
+        assert s["mean_map_recipe"] >= s["mean_map_plain"]
 
 
 class TestViTBackboneTraining:
@@ -1140,3 +1156,55 @@ class TestResumeAcrossEMAToggle:
         template, _ = self._mk(ema=False, accum=2)  # MultiSteps adds leaves
         with pytest.raises(ValueError, match="accum-steps"):
             _load_train_state(p, template)
+
+
+class TestSeedReproducibility:
+    """tools/train_detr.py --seed: same seed reproduces the loss sequence
+    exactly; a different seed diverges (init + shuffle + step rng all
+    keyed)."""
+
+    def _run(self, tmp_path, name, seed):
+        import json
+
+        from tools.train_detr import main as train_main
+
+        ckpt = tmp_path / name
+        rc = train_main([
+            "--model", "yolo", "--yolo-variant", "n", "--tiny",
+            "--seed", str(seed),
+            "--images", str(tmp_path / "images"),
+            "--annotations", str(tmp_path / "coco.json"),
+            "--epochs", "2", "--batch", "2",
+            "--height", "96", "--width", "128",
+            "--checkpoint", str(ckpt),
+        ])
+        assert rc == 0
+        return json.loads((ckpt / "history.json").read_text())["step_losses"]
+
+    def test_same_seed_reproduces_different_seed_diverges(self, tmp_path):
+        import json
+
+        import cv2
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        images, anns = [], []
+        for i in range(4):
+            img = np.full((96, 128, 3), 90, np.uint8)
+            cv2.rectangle(img, (20 + 8 * i, 20), (50 + 8 * i, 70),
+                          (40, 60, 200), -1)
+            cv2.imwrite(str(img_dir / f"i{i}.jpg"), img)
+            images.append({"id": i, "file_name": f"i{i}.jpg",
+                           "width": 128, "height": 96})
+            anns.append({"id": i + 1, "image_id": i, "category_id": 1,
+                         "bbox": [20 + 8 * i, 20, 30, 50], "area": 1500,
+                         "iscrowd": 0})
+        (tmp_path / "coco.json").write_text(json.dumps(
+            {"images": images, "annotations": anns,
+             "categories": [{"id": 1, "name": "person"}]}))
+
+        a = self._run(tmp_path, "a", seed=7)
+        b = self._run(tmp_path, "b", seed=7)
+        c = self._run(tmp_path, "c", seed=8)
+        assert a == b, (a, b)
+        assert a != c

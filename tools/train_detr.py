@@ -258,6 +258,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="save a checkpoint every N epochs")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="seed for init, shuffling and the train-step "
+                             "rng (reproducible runs; vary for replicates)")
     parser.add_argument("--schedule", choices=["none", "cosine", "step"],
                         default="none",
                         help="LR schedule: cosine (warmup + cosine decay, "
@@ -338,7 +341,7 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = (YOLOConfig.tiny() if args.tiny
                else YOLOConfig(variant=args.yolo_variant))
-        model, variables = init_yolo(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+        model, variables = init_yolo(cfg, jax.random.PRNGKey(args.seed), input_hw=(64, 64))
         if args.init:
             if args.init.exists():
                 from office_person_detection_vit_tpu.models.weights import (
@@ -386,7 +389,7 @@ def main(argv: list[str] | None = None) -> int:
                             use_pallas_attention=False,  # XLA attention faster at DETR scale (measured)
                             **extra)
         )
-        model, variables = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 64))
+        model, variables = init_detr(cfg, jax.random.PRNGKey(args.seed), input_hw=(64, 64))
         if args.init:
             if args.init.exists():
                 from office_person_detection_vit_tpu.models.weights import (
@@ -485,13 +488,13 @@ def main(argv: list[str] | None = None) -> int:
             res.map_5095, res.tp, res.fp, res.fn,
         )
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed + 1)
 
     # Input pipeline: decode-once LRU frame cache + a background producer
     # assembling the next batches while the device runs the current step
     # (training/data.py — the ultralytics-DataLoader analog).
     loader = COCOBatchLoader(samples, args.batch, capacity=args.max_targets,
-                             seed=0, depth=2)
+                             seed=args.seed, depth=2)
 
     def to_device(host_batch: dict) -> dict:
         pixels, mask = preprocess_frames(
