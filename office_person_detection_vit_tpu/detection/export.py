@@ -207,10 +207,12 @@ class ExportedDetector:
     up the server from two files.
 
     Incoming frames of any resolution are resized to the artifact's baked
-    ``source_hw``; box outputs are normalized-coordinate scaled to the
-    ORIGINAL frame pixels (per-axis normalization makes the resize
-    transparent). Fixed-batch artifacts pad partial batches; dynamic-batch
-    artifacts (the export default) run every size directly.
+    ``source_hw``; the program decodes boxes in its native pixel space and
+    the host applies the per-axis stretch back to the caller's resolution
+    (the exported YOLO/SSD decode inverts its letterbox with a single
+    min-scale, which is not per-axis separable — only the host rescale is
+    family-agnostic). Fixed-batch artifacts pad partial batches;
+    dynamic-batch artifacts (the export default) run every size directly.
     """
 
     def __init__(self, artifact_path: Path, weights_path: Path,
@@ -262,13 +264,33 @@ class ExportedDetector:
 
     def detect_batch(self, frames: np.ndarray):
         import cv2
+        import jax.numpy as jnp
 
         from ..core.dto import DetectionBatch
 
-        F, H0, W0, _ = frames.shape
+        F = int(frames.shape[0])
+        if F == 0:  # tolerate empty input (ADVICE r2: no dispatch to run)
+            q = next(
+                (int(a.shape[1]) for a in self.exported.out_avals
+                 if len(a.shape) == 3 and a.shape[-1] == 4), 0,
+            )
+            return DetectionBatch(
+                boxes_xywh=jnp.zeros((0, q, 4), jnp.float32),
+                scores=jnp.zeros((0, q), jnp.float32),
+                valid=jnp.zeros((0, q), bool),
+                foot=jnp.zeros((0, q, 2), jnp.float32),
+            )
+        _, H0, W0, _ = frames.shape
         h, w = self.source_hw
-        if (H0, W0) != (h, w):
+        resized = (int(H0), int(W0)) != (h, w)
+        if resized:
             frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
+        # The exported decode inverts its letterbox with a single min-scale
+        # (YOLO/SSD) which is NOT per-axis separable, so after the
+        # non-aspect-preserving host resize the program must decode in the
+        # artifact's native (w, h) pixel space; the per-axis stretch back to
+        # the caller's (W0, H0) happens on host below (ADVICE r2).
+        orig_wh = (float(w), float(h))
         outs = []
         i = 0
         # Dynamic artifacts XLA-specialize per concrete batch shape, so pad
@@ -284,13 +306,18 @@ class ExportedDetector:
                 )
             out = run_exported(
                 self.exported, self.variables, part,
-                orig_wh=(float(W0), float(H0)),
+                orig_wh=orig_wh,
                 conf=self.confidence_threshold,
             )
-            outs.append({k: v[:n] for k, v in out.items()})
+            outs.append({k: np.asarray(v[:n]) for k, v in out.items()})
             i += n
         cat = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-        import jax.numpy as jnp
+        if resized:
+            sx, sy = float(W0) / w, float(H0) / h
+            cat["boxes_xywh"] = cat["boxes_xywh"] * np.asarray(
+                [sx, sy, sx, sy], np.float32
+            )
+            cat["foot"] = cat["foot"] * np.asarray([sx, sy], np.float32)
 
         return DetectionBatch(
             boxes_xywh=jnp.asarray(cat["boxes_xywh"]),

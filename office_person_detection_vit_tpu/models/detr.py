@@ -61,7 +61,14 @@ class DETRConfig:
 
     @classmethod
     def tiny(cls, **kw) -> "DETRConfig":
-        """Small config for tests / multi-chip dry runs."""
+        """Small config for tests / multi-chip dry runs.
+
+        dropout defaults to 0 here (vs the paper's 0.1 at full size):
+        at d_model=64 / Q=10 the dropout noise randomizes the Hungarian
+        match every step, so queries never specialize — the class head
+        converges to the collapsed blend (every query predicting "person"
+        at p≈1/(1+(Q-1)·eos)), the round-2 precision-0.10 plateau.
+        Measured head-to-head in docs/training.md §"DETR at tiny scale"."""
         defaults = dict(
             num_queries=10,
             d_model=64,
@@ -72,6 +79,7 @@ class DETRConfig:
             backbone_depths=(1, 1, 1, 1),
             backbone_hidden=(32, 64, 128, 256),
             backbone_embedding=16,
+            dropout=0.0,
         )
         defaults.update(kw)
         return cls(**defaults)

@@ -52,11 +52,18 @@ def assign_targets(
     center_radius: float,
     stride: int,
     size_range: tuple[float, float] = (0.0, float("inf")),
+    content_hw: tuple[int, int] | None = None,
 ):
     """Per-cell assignment for ONE image. Returns (pos (fh,fw) bool,
-    box_idx (fh,fw) int32 — index of the assigned GT)."""
+    box_idx (fh,fw) int32 — index of the assigned GT).
+
+    ``content_hw`` is the letterboxed valid-content extent: normalized GT
+    boxes map to ``content_hw`` pixels (the region the image actually
+    occupies after an aspect-preserving resize into ``input_hw``), while
+    the anchor grid spans the full ``input_hw`` canvas. Defaults to
+    ``input_hw`` (no letterbox padding)."""
     fh, fw = grid_hw
-    ih, iw = input_hw
+    ih, iw = content_hw if content_hw is not None else input_hw
     cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * stride  # pixels
     cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * stride
     gcx = tgt_boxes[:, 0] * iw   # (T,)
@@ -94,6 +101,7 @@ def _level_loss(
     stride: int,
     size_range: tuple[float, float],
     config: SSDCriterionConfig,
+    content_hw: tuple[int, int] | None = None,
 ):
     """Unnormalized loss sums + positive count for ONE pyramid level."""
     obj = level["objectness"]        # (B, fh, fw)
@@ -101,11 +109,13 @@ def _level_loss(
     ltrb = level["ltrb"]             # (B, fh, fw, 4) stride units, >=0
     B, fh, fw = obj.shape
     C = cls.shape[-1]
-    ih, iw = input_hw
+    # Normalized GT scales by the valid-content extent (see assign_targets).
+    ih, iw = content_hw if content_hw is not None else input_hw
 
     pos, box_idx = jax.vmap(
         lambda tb, tv: assign_targets(
-            tb, tv, (fh, fw), input_hw, config.center_radius, stride, size_range
+            tb, tv, (fh, fw), input_hw, config.center_radius, stride,
+            size_range, content_hw,
         )
     )(tgt_boxes, tgt_valid)  # (B, fh, fw) bool / int32
 
@@ -155,14 +165,16 @@ def ssd_loss(
     tgt_valid: Array,   # (B, T)
     input_hw: tuple[int, int],
     config: SSDCriterionConfig = SSDCriterionConfig(),
+    content_hw: tuple[int, int] | None = None,
 ) -> tuple[Array, dict[str, Array]]:
     """Multi-level FCOS loss: per-level sums, normalized by the GLOBAL
     positive count (a plain sum — GSPMD inserts the data-axis all-reduce
-    under pjit)."""
+    under pjit). ``content_hw``: letterboxed valid-content extent the
+    normalized GT boxes refer to (default: the full canvas)."""
     levels = outputs["levels"]
     sums = [
         _level_loss(level, tgt_labels, tgt_boxes, tgt_valid, input_hw,
-                    stride, size_range, config)
+                    stride, size_range, config, content_hw)
         for level, stride, size_range in zip(
             levels, config.strides, config.size_ranges()
         )
@@ -185,10 +197,13 @@ def ssd_loss(
 
 
 def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None,
-                        ema_decay=None, augment=None):
+                        ema_decay=None, augment=None,
+                        content_hw: tuple[int, int] | None = None):
     """Jitted (state, batch, rng) -> (state, metrics) for the single-shot
     detector (same TrainState/batch contract as the DETR step, incl.
-    optional EMA + fused on-device augmentation)."""
+    optional EMA + fused on-device augmentation). ``content_hw``: the
+    letterboxed valid-content extent GT boxes are normalized to — pass it
+    whenever training frames are letterboxed into ``input_hw``."""
     from .train_step import TrainState, apply_update
 
     if config is None:
@@ -197,7 +212,8 @@ def make_ssd_train_step(model, tx, input_hw: tuple[int, int], config=None,
     def loss_fn(params, batch):
         out = model.apply({"params": params}, batch["pixels"], deterministic=True)
         return ssd_loss(
-            out, batch["labels"], batch["boxes"], batch["valid"], input_hw, config
+            out, batch["labels"], batch["boxes"], batch["valid"], input_hw,
+            config, content_hw,
         )
 
     @jax.jit

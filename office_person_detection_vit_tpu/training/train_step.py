@@ -186,6 +186,14 @@ def apply_update(
     only on APPLIED updates (detected from ``mini_step`` wrapping to 0),
     so ``ema_decay`` means decay-per-update regardless of ``accum_steps``
     — micro-steps leave both params and EMA untouched."""
+    if ema_decay is not None and state.ema_params is None:
+        # Fail at trace time, not silently: a caller that asked for EMA but
+        # created the state without ema=True would otherwise train believing
+        # the average is tracked and later serve raw weights (ADVICE r2).
+        raise ValueError(
+            "ema_decay was requested but the TrainState carries no "
+            "ema_params; create it with TrainState.create(..., ema=True)"
+        )
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     ema = state.ema_params

@@ -96,16 +96,20 @@ def dfl_loss(box_dist: Array, target: Array) -> Array:
 
 
 def _level_loss(level, tgt_labels, tgt_boxes, tgt_valid, input_hw, stride,
-                size_range, config: YOLOCriterionConfig):
+                size_range, config: YOLOCriterionConfig,
+                content_hw: tuple[int, int] | None = None):
     cls = level["class_logits"]   # (B, fh, fw, C)
     box_dist = level["box_dist"]  # (B, fh, fw, 4*reg_max)
     B, fh, fw, C = cls.shape
-    ih, iw = input_hw
+    # Normalized GT scales by the letterboxed valid-content extent; the
+    # anchor grid spans the full canvas (see ssd_criterion.assign_targets).
+    ih, iw = content_hw if content_hw is not None else input_hw
     R = config.reg_max
 
     pos, box_idx = jax.vmap(
         lambda tb, tv: assign_targets(
-            tb, tv, (fh, fw), input_hw, config.center_radius, stride, size_range
+            tb, tv, (fh, fw), input_hw, config.center_radius, stride,
+            size_range, content_hw,
         )
     )(tgt_boxes, tgt_valid)  # (B, fh, fw)
     posf = pos.astype(jnp.float32)
@@ -169,10 +173,11 @@ def yolo_loss(
     tgt_valid: Array,   # (B, T)
     input_hw: tuple[int, int],
     config: YOLOCriterionConfig = YOLOCriterionConfig(),
+    content_hw: tuple[int, int] | None = None,
 ) -> tuple[Array, dict[str, Array]]:
     sums = [
         _level_loss(level, tgt_labels, tgt_boxes, tgt_valid, input_hw,
-                    stride, size_range, config)
+                    stride, size_range, config, content_hw)
         for level, stride, size_range in zip(
             outputs["levels"], config.strides, config.size_ranges()
         )
@@ -193,28 +198,32 @@ def yolo_loss(
     }
 
 
-def _make_loss_fn(model, input_hw, config):
+def _make_loss_fn(model, input_hw, config, content_hw=None):
     def loss_fn(params, batch):
         out = model.apply({"params": params}, batch["pixels"], deterministic=True)
         return yolo_loss(
-            out, batch["labels"], batch["boxes"], batch["valid"], input_hw, config
+            out, batch["labels"], batch["boxes"], batch["valid"], input_hw,
+            config, content_hw,
         )
 
     return loss_fn
 
 
 def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None,
-                         ema_decay=None, augment=None):
+                         ema_decay=None, augment=None,
+                         content_hw: tuple[int, int] | None = None):
     """Jitted (state, batch, rng) -> (state, metrics) — same contract as
     make_ssd_train_step / the DETR step (incl. optional EMA + fused
-    on-device augmentation)."""
+    on-device augmentation). ``content_hw``: the letterboxed valid-content
+    extent GT boxes are normalized to — pass it whenever training frames
+    are letterboxed into ``input_hw``."""
     from .train_step import TrainState, apply_update
 
     if config is None:
         config = YOLOCriterionConfig(
             strides=model.config.strides, reg_max=model.config.reg_max
         )
-    loss_fn = _make_loss_fn(model, input_hw, config)
+    loss_fn = _make_loss_fn(model, input_hw, config, content_hw)
 
     @jax.jit
     def step(state: TrainState, batch: dict, rng):
@@ -233,7 +242,8 @@ def make_yolo_train_step(model, tx, input_hw: tuple[int, int], config=None,
 
 def make_yolo_sharded_train_step(model, tx, mesh, params_template,
                                  input_hw: tuple[int, int], config=None,
-                                 ema_decay=None, augment=None):
+                                 ema_decay=None, augment=None,
+                                 content_hw: tuple[int, int] | None = None):
     """The same step jitted over the device mesh — pure data parallelism
     (the conv param tree matches no TP rule, so parallel/sharding.py
     replicates it; GSPMD derives the gradient all-reduce over ``data``
@@ -256,7 +266,7 @@ def make_yolo_sharded_train_step(model, tx, mesh, params_template,
         config = YOLOCriterionConfig(
             strides=model.config.strides, reg_max=model.config.reg_max
         )
-    loss_fn = _make_loss_fn(model, input_hw, config)
+    loss_fn = _make_loss_fn(model, input_hw, config, content_hw)
 
     pspecs = param_specs(params_template)
     opt_specs = _opt_state_specs(tx, params_template, pspecs)

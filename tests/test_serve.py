@@ -169,6 +169,44 @@ class TestExportedServing:
                                    2.0 * np.asarray(ref.boxes_xywh),
                                    rtol=1e-4, atol=1e-3)
 
+    def test_empty_batch_returns_empty(self, artifact):
+        """F=0 must not crash (ADVICE r2): no dispatch, empty DetectionBatch."""
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        det, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz")
+        got = ed.detect_batch(np.zeros((0, 96, 128, 3), np.uint8))
+        assert got.boxes_xywh.shape[0] == 0
+        assert got.valid.shape[0] == 0 and got.foot.shape[0] == 0
+
+    def test_anisotropic_resize_scales_boxes_per_axis(self, artifact):
+        """A foreign resolution with a DIFFERENT aspect ratio: the host
+        applies per-axis stretch (x by W0/w, y by H0/h) so boxes land in
+        the caller's pixels (ADVICE r2: the exported decode's min-scale
+        letterbox inversion is not per-axis separable)."""
+        from office_person_detection_vit_tpu.detection.export import (
+            ExportedDetector,
+        )
+
+        det, d = artifact
+        ed = ExportedDetector(d / "m.stablehlo", d / "w.npz",
+                              confidence_threshold=det.confidence_threshold)
+        big = np.random.default_rng(2).integers(0, 255, (1, 192, 512, 3),
+                                                np.uint8)  # sy=2, sx=4
+        got = ed.detect_batch(big)
+        small = np.stack([cv2.resize(big[0], (128, 96))])
+        ref = det.detect_batch(small)
+        scale = np.asarray([4.0, 2.0, 4.0, 2.0], np.float32)
+        np.testing.assert_allclose(np.asarray(got.boxes_xywh),
+                                   scale * np.asarray(ref.boxes_xywh),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.foot),
+                                   np.asarray([4.0, 2.0], np.float32)
+                                   * np.asarray(ref.foot),
+                                   rtol=1e-4, atol=1e-3)
+
     def test_microbatcher_serves_exported(self, artifact):
         from office_person_detection_vit_tpu.detection.export import (
             ExportedDetector,

@@ -270,6 +270,87 @@ class TestSSDCriterion:
         pos, _ = assign_targets(tgt, valid, (2, 2), (64, 64), 1.5, 32)
         assert not bool(pos.any())
 
+    def test_assignment_letterbox_content_mapping(self):
+        """GT boxes are normalized to the CONTENT area: with horizontal
+        letterbox padding, a content-centered box must assign to cells at
+        the content center, not the canvas center (round-3 fix of the
+        canvas-scaled targets that silently shifted letterboxed GT)."""
+        from office_person_detection_vit_tpu.training.ssd_criterion import (
+            assign_targets,
+        )
+
+        # Canvas 64x128, content 64x64 (right half is padding). A small box
+        # at content cx=0.5 sits at canvas pixel x=32 -> grid col 2 of 8
+        # (stride 16), NOT canvas center col 4.
+        tgt = jnp.asarray([[0.5, 0.5, 0.3, 0.3]], jnp.float32)
+        valid = jnp.asarray([True])
+        pos, _ = assign_targets(
+            tgt, valid, (4, 8), (64, 128), 0.5, 16, content_hw=(64, 64)
+        )
+        cols = np.flatnonzero(np.asarray(pos).any(axis=0))
+        assert cols.size and (cols <= 2).all(), cols
+        # Without content_hw the same box lands at canvas center (col ~4):
+        pos_canvas, _ = assign_targets(
+            tgt, valid, (4, 8), (64, 128), 0.5, 16
+        )
+        cols_canvas = np.flatnonzero(np.asarray(pos_canvas).any(axis=0))
+        assert cols_canvas.size and (cols_canvas >= 3).all(), cols_canvas
+
+    def test_hflip_boxes_agree_with_content_mirrored_pixels(self):
+        """ADVICE r2 (medium): augment mirrors pixels within the content
+        columns and maps boxes cx -> 1-cx. With content-normalized GT and
+        content_hw-aware criteria, the flipped box's assigned cells are the
+        content-mirror of the original assignment."""
+        from office_person_detection_vit_tpu.training.ssd_criterion import (
+            assign_targets,
+        )
+
+        content_hw = (64, 96)  # canvas (64, 128): 32 px right padding
+        tgt = jnp.asarray([[0.25, 0.5, 0.2, 0.4]], jnp.float32)
+        flipped = tgt.at[0, 0].set(1.0 - tgt[0, 0])
+        valid = jnp.asarray([True])
+        pos, _ = assign_targets(
+            tgt, valid, (8, 16), (64, 128), 1.5, 8, content_hw=content_hw
+        )
+        pos_f, _ = assign_targets(
+            flipped, valid, (8, 16), (64, 128), 1.5, 8, content_hw=content_hw
+        )
+        # Content spans canvas cols [0, 96) = grid cols [0, 12). Mirroring
+        # the content maps grid col c -> 11 - c.
+        pos = np.asarray(pos)
+        pos_f = np.asarray(pos_f)
+        assert pos[:, 12:].sum() == 0 and pos_f[:, 12:].sum() == 0
+        assert (pos_f[:, :12] == pos[:, :12][:, ::-1]).all()
+
+    def test_yolo_loss_content_hw_changes_targets_only_under_padding(self):
+        """content_hw == input_hw must be a no-op; differing content must
+        change the loss (the GT actually moves)."""
+        import jax
+
+        from office_person_detection_vit_tpu.models.yolo import (
+            YOLOConfig,
+            init_yolo,
+        )
+        from office_person_detection_vit_tpu.training.yolo_criterion import (
+            yolo_loss,
+        )
+
+        cfg = YOLOConfig.tiny()
+        model, variables = init_yolo(cfg, jax.random.PRNGKey(0), input_hw=(64, 128))
+        pixels = jnp.zeros((1, 64, 128, 3), jnp.float32)
+        out = model.apply({"params": variables["params"]}, pixels)
+        labels = jnp.ones((1, 2), jnp.int32)
+        boxes = jnp.asarray([[[0.4, 0.5, 0.3, 0.4], [0.7, 0.4, 0.2, 0.3]]],
+                            jnp.float32)
+        valid = jnp.asarray([[True, True]])
+        base, _ = yolo_loss(out, labels, boxes, valid, (64, 128))
+        same, _ = yolo_loss(out, labels, boxes, valid, (64, 128),
+                            content_hw=(64, 128))
+        moved, _ = yolo_loss(out, labels, boxes, valid, (64, 128),
+                             content_hw=(64, 96))
+        assert float(base) == float(same)
+        assert float(moved) != float(base)
+
     def test_train_step_decreases_loss(self, ssd_setup):
         from office_person_detection_vit_tpu.training import (
             make_ssd_train_step,
@@ -622,6 +703,24 @@ class TestTrainerUpgrades:
         np.testing.assert_allclose(
             s2.ema_params["head"]["w"], np.asarray(s1.ema_params["head"]["w"])
         )
+
+    def test_ema_decay_without_ema_state_raises(self):
+        """ADVICE r2: asking for EMA on a state created without ema=True
+        must fail loudly, not silently train-and-serve raw weights."""
+        import optax
+        import pytest
+
+        from office_person_detection_vit_tpu.training import (
+            TrainState,
+            apply_update,
+        )
+
+        params = {"head": {"w": jnp.zeros(3)}}
+        tx = optax.sgd(0.1)
+        state = TrainState.create(params, tx, ema=False)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        with pytest.raises(ValueError, match="ema_params"):
+            apply_update(state, grads, tx, ema_decay=0.9)
 
     def test_accumulation_defers_updates(self):
         from office_person_detection_vit_tpu.training import (

@@ -159,6 +159,9 @@ def evaluate_detector(model, params, samples, *, target_hw, cfg,
     orig_wh = jnp.asarray(EVAL_WH, jnp.float32)
     conf_arr = jnp.float32(conf)
 
+    # Key detections/GT by the full path string, not the basename — COCO
+    # sets with duplicate file names in different subdirectories must not
+    # collide in the GT join (ADVICE r2).
     records: list[DetectionRecord] = []
     for start in range(0, len(samples), batch):
         chunk = samples[start : start + batch]
@@ -175,7 +178,7 @@ def evaluate_detector(model, params, samples, *, target_hw, cfg,
         scores = np.asarray(out.scores)
         valid = np.asarray(out.valid)
         for f in range(n):
-            name = chunk[f][0].name
+            name = str(chunk[f][0])
             for q in np.flatnonzero(valid[f]):
                 records.append(
                     DetectionRecord(
@@ -200,7 +203,7 @@ def evaluate_detector(model, params, samples, *, target_hw, cfg,
             ).astype(np.float32)
         else:
             xywh = np.zeros((0, 4), np.float32)
-        gt[path.name] = xywh
+        gt[str(path)] = xywh
     return DetectionBenchmark(iou_threshold=iou).evaluate(records, gt)
 
 
@@ -256,6 +259,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--patch-size", type=int, default=16)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
+    parser.add_argument("--dropout", type=float, default=None,
+                        help="transformer dropout override (DETR family). "
+                             "Default: 0.1 full-size (the paper recipe), "
+                             "0.0 for --tiny — dropout noise destabilizes "
+                             "the Hungarian match at tiny scale and "
+                             "collapses the queries (docs/training.md)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="save a checkpoint every N epochs")
     parser.add_argument("--seed", type=int, default=0,
@@ -298,11 +307,19 @@ def main(argv: list[str] | None = None) -> int:
                         help="val COCO json (default: --annotations)")
     parser.add_argument("--resume-from", type=Path, default=None,
                         help="resume training from a saved train_state.npz")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu). The axon TPU "
+                             "plugin overrides JAX_PLATFORMS env after "
+                             "import, so this flag is the reliable way to "
+                             "train on host CPU")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from office_person_detection_vit_tpu.models.detr import DETR, DETRConfig, init_detr
@@ -362,10 +379,19 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 logger.warning("--init %s not found; training from random init",
                                args.init)
+        from office_person_detection_vit_tpu.ops.preprocessing import (
+            compute_resize_geometry,
+        )
+
+        # GT boxes are normalized to the source frame == the letterboxed
+        # valid content; the criterion must scale them by the content
+        # extent, not the padded canvas (the grid still spans the canvas).
+        src_h, src_w = EVAL_WH[1], EVAL_WH[0]
+        content_hw = compute_resize_geometry((src_h, src_w), target_hw)
         make_single = lambda m, t, **kw: make_yolo_train_step(  # noqa: E731
-            m, t, target_hw, **kw)
+            m, t, target_hw, content_hw=content_hw, **kw)
         make_sharded = lambda m, t, mesh, p, **kw: make_yolo_sharded_train_step(  # noqa: E731
-            m, t, mesh, p, target_hw, **kw)
+            m, t, mesh, p, target_hw, content_hw=content_hw, **kw)
     else:
         make_single = make_train_step
         make_sharded = make_sharded_train_step
@@ -382,6 +408,8 @@ def main(argv: list[str] | None = None) -> int:
                              vit_hidden=t.hidden_size, vit_layers=t.num_layers,
                              vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
                              vit_pos_grid=t.pos_grid)
+        if args.dropout is not None:
+            extra["dropout"] = args.dropout
         cfg = (
             DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
             if args.tiny
@@ -542,22 +570,31 @@ def main(argv: list[str] | None = None) -> int:
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         losses = []  # device scalars; fetched once per epoch so async
+        comps: dict[str, list] = {}
         for host_batch in loader.epoch(epoch):  # prefetch overlaps compute
             batch = shard_batch(to_device(host_batch))
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             losses.append(metrics["loss"])
+            for k, v in metrics.items():
+                if k != "loss":
+                    comps.setdefault(k, []).append(v)
         losses = [float(l) for l in jax.device_get(losses)]
+        comp_means = {
+            k: float(np.mean(jax.device_get(v))) for k, v in comps.items()
+        }
         logger.info(
-            "epoch %d/%d: loss %.4f (%.1fs)",
+            "epoch %d/%d: loss %.4f [%s] (%.1fs)",
             epoch + 1, args.epochs,
             float(np.mean(losses)) if losses else float("nan"),
+            " ".join(f"{k}={v:.3f}" for k, v in sorted(comp_means.items())),
             time.perf_counter() - t0,
         )
         history["step_losses"].extend(losses)
         history["epoch_losses"].append(
             float(np.mean(losses)) if losses else None
         )
+        history.setdefault("epoch_metrics", []).append(comp_means)
         if args.evaluate and (
             epoch + 1 == args.epochs
             or (args.eval_every and (epoch + 1) % args.eval_every == 0)
