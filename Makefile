@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat coco-to-cvat cvat-to-mot validate-annotation baseline mot-evaluate deps-check parity dryrun clean
+.PHONY: help run test test-fast test-cov lint format format-check ci bench bench-e2e serve dashboard benchmark-detection benchmark-tracking benchmark-tracking-sparse gt-prepare gt-from-cvat coco-to-cvat cvat-to-mot validate-annotation baseline mot-evaluate deps-check parity dryrun dryrun-multihost clean
 
 help:  ## list targets
 	@grep -E '^[a-z-]+:' Makefile | cut -d: -f1 | sort
@@ -119,6 +119,12 @@ parity:
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 	$(PYTHON) -c "import jax; jax.config.update('jax_platforms','cpu'); from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+# Real 2-process DCN group over localhost (SURVEY.md §5.8): two OS
+# processes x 4 virtual CPU devices, TP intra-process, DP across the
+# process boundary; asserts loss parity vs a single-process 8-device run.
+dryrun-multihost:
+	$(PYTHON) tools/dcn_dryrun.py
 
 # Native host-staging library (ctypes; auto-built on first import too).
 native:
