@@ -250,6 +250,7 @@ class TrackingPhase(BasePhase):
             "csv": exporter.export_csv(frame_results),
             "mot": exporter.export_mot_csv(frame_results),
             "json": exporter.export_json(frame_results),
+            "frame_index": exporter.export_frame_index(frame_results),
         }
         stats_path = output_dir / "tracking_statistics.json"
         stats_path.write_text(json.dumps(self.statistics, indent=2), encoding="utf-8")

@@ -62,6 +62,24 @@ class TrajectoryExporter:
                     )
         return path
 
+    def export_frame_index(
+        self, frames: Sequence[FrameResult], name: str = "frames_index.csv"
+    ) -> Path:
+        """mot_frame,video_frame,timestamp rows for EVERY tracked frame —
+        including detection-less ones, which leave no row in tracks.csv /
+        tracks_mot.csv. External MOT scorers need this to join the 1-based
+        MOTChallenge frame ids back to wall-clock time without assuming
+        every frame produced a track (the reference has the same gap: its
+        gold-GT frame mapping is by-convention only,
+        reference tracking_benchmark.py:300-347)."""
+        path = self.output_dir / name
+        with path.open("w", newline="", encoding="utf-8") as f:
+            writer = csv.writer(f)
+            writer.writerow(["mot_frame", "video_frame", "timestamp"])
+            for idx, fr in enumerate(frames, start=1):
+                writer.writerow([idx, fr.frame_number, fr.timestamp_str])
+        return path
+
     def export_mot_csv(
         self, frames: Sequence[FrameResult], name: str = "tracks_mot.csv"
     ) -> Path:

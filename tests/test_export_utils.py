@@ -193,3 +193,15 @@ class TestCropAndZoom:
             det_dir, fm_dir, tmp_path / "z.mp4", floor_points_by_key=points
         )
         assert out is not None and out.stat().st_size > 0
+
+
+class TestFrameIndex:
+    def test_every_frame_listed_including_empty(self, tmp_path):
+        frames = _frames() + [FrameResult(2, "2025-01-01 10:10:00", [])]
+        path = TrajectoryExporter(tmp_path).export_frame_index(frames)
+        rows = list(csv.reader(path.open()))
+        assert rows[0] == ["mot_frame", "video_frame", "timestamp"]
+        assert len(rows) == 4  # header + 3 frames (incl. the empty one)
+        assert rows[3] == ["3", "2", "2025-01-01 10:10:00"]
+        # mot_frame is the 1-based position, independent of video_frame
+        assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
