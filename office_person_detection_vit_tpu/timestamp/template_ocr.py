@@ -14,6 +14,31 @@ import numpy as np
 
 CHARSET = "0123456789/:"
 
+#: Template banks: (cv2 font constant name, scale, thickness) for every
+#: Hershey face the charset renders and segments cleanly in, at two stroke
+#: weights where useful. Recognition scores each bank over the whole ROI and
+#: reads with the best one, so font drift in the source video degrades into
+#: a bank switch instead of a mis-read (reference runs tesseract, which is
+#: font-agnostic by training — reference src/timestamp/ocr_engine.py:32-56).
+#: Entries are (face, scale, thickness[, blur sigma]) — sigma'd banks model
+#: defocused footage, where blur + Otsu thickens strokes past what any sharp
+#: bank matches.
+_FONT_BANKS = (
+    ("FONT_HERSHEY_SIMPLEX", 1.7, 3),
+    ("FONT_HERSHEY_SIMPLEX", 1.4, 2),
+    ("FONT_HERSHEY_SIMPLEX", 1.7, 3, 2.5),
+    ("FONT_HERSHEY_PLAIN", 2.8, 2),
+    ("FONT_HERSHEY_DUPLEX", 1.7, 3),
+    ("FONT_HERSHEY_DUPLEX", 1.4, 2),
+    ("FONT_HERSHEY_DUPLEX", 1.7, 3, 2.5),
+    ("FONT_HERSHEY_COMPLEX", 1.7, 3),
+    ("FONT_HERSHEY_COMPLEX", 1.4, 2),
+    ("FONT_HERSHEY_TRIPLEX", 1.7, 3),
+    ("FONT_HERSHEY_COMPLEX_SMALL", 2.2, 2),
+    ("FONT_HERSHEY_SCRIPT_SIMPLEX", 1.7, 2),
+    ("FONT_HERSHEY_SCRIPT_COMPLEX", 1.7, 2),
+)
+
 
 def spaced_join(boxes: list[tuple[int, int, int, int]],
                 chars: list[str]) -> str:
@@ -48,28 +73,38 @@ def binarize(image: np.ndarray) -> np.ndarray:
 class TemplateOCREngine:
     name = "template"
 
-    def __init__(self, glyph_h: int = 32, glyph_w: int = 20):
+    def __init__(self, glyph_h: int = 32, glyph_w: int = 20,
+                 font_banks: tuple = _FONT_BANKS):
         self.glyph_h = glyph_h
         self.glyph_w = glyph_w
-        self._templates: dict[str, np.ndarray] | None = None
+        self.font_banks = font_banks
+        self._banks: list[tuple[str, dict[str, np.ndarray]]] | None = None
 
-    def _render_templates(self) -> dict[str, np.ndarray]:
+    def _render_templates(self, font_name: str, scale: float,
+                          thickness: int,
+                          sigma: float = 0.0) -> dict[str, np.ndarray] | None:
         """Render the whole charset as one string and segment it with the
         same pipeline used at recognition time, so every template glyph is
         clipped to the common text band exactly like a real observation
-        (otherwise band-relative glyphs such as ':' mismatch)."""
+        (otherwise band-relative glyphs such as ':' mismatch). Returns None
+        when the face doesn't segment into exactly one box per char (e.g.
+        script faces whose glyphs touch) — that bank is skipped."""
         import cv2
 
         canvas = np.zeros((80, 40 * len(CHARSET) + 40), np.uint8)
         cv2.putText(
-            canvas, CHARSET, (10, 58), cv2.FONT_HERSHEY_SIMPLEX, 1.7, 255, 3, cv2.LINE_AA
+            canvas, CHARSET, (10, 58), getattr(cv2, font_name), scale, 255,
+            thickness, cv2.LINE_AA,
         )
-        _, binary = cv2.threshold(canvas, 32, 255, cv2.THRESH_BINARY)
+        if sigma > 0:
+            canvas = cv2.GaussianBlur(canvas, (0, 0), sigma)
+            _, binary = cv2.threshold(canvas, 0, 255,
+                                      cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        else:
+            _, binary = cv2.threshold(canvas, 32, 255, cv2.THRESH_BINARY)
         boxes = self._segment(binary)
-        if len(boxes) != len(CHARSET):  # pragma: no cover - font safety net
-            raise RuntimeError(
-                f"template segmentation found {len(boxes)} glyphs for {len(CHARSET)} chars"
-            )
+        if len(boxes) != len(CHARSET):
+            return None
         out = {}
         for ch, (x0, y0, x1, y1) in zip(CHARSET, boxes):
             glyph = binary[y0:y1, x0:x1].astype(np.float32)
@@ -77,10 +112,29 @@ class TemplateOCREngine:
         return out
 
     @property
+    def banks(self) -> list[tuple[str, dict[str, np.ndarray]]]:
+        """[(bank label, char -> template)] for every face that rendered."""
+        if self._banks is None:
+            banks = []
+            for spec in self.font_banks:
+                font_name, scale, thickness = spec[:3]
+                sigma = spec[3] if len(spec) > 3 else 0.0
+                tmpl = self._render_templates(font_name, scale, thickness,
+                                              sigma)
+                if tmpl is not None:
+                    label = f"{font_name}@{scale}x{thickness}"
+                    if sigma:
+                        label += f"~{sigma}"
+                    banks.append((label, tmpl))
+            if not banks:  # pragma: no cover - font safety net
+                raise RuntimeError("no template font bank rendered cleanly")
+            self._banks = banks
+        return self._banks
+
+    @property
     def templates(self) -> dict[str, np.ndarray]:
-        if self._templates is None:
-            self._templates = self._render_templates()
-        return self._templates
+        """Primary (Hershey simplex) bank — kept for back-compat."""
+        return self.banks[0][1]
 
     def is_available(self) -> bool:
         try:
@@ -99,20 +153,32 @@ class TemplateOCREngine:
         boxes = self._segment(binary)
         if not boxes:
             return "", 0.0
-        chars: list[str] = []
-        scores: list[float] = []
+        glyphs = []
         for x0, y0, x1, y1 in boxes:
             glyph = binary[y0:y1, x0:x1].astype(np.float32)
-            glyph = cv2.resize(glyph, (self.glyph_w, self.glyph_h))
-            best_ch, best_score = "", -1.0
-            for ch, tmpl in self.templates.items():
-                score = self._ncc(glyph, tmpl)
-                if score > best_score:
-                    best_ch, best_score = ch, score
-            chars.append(best_ch)
-            scores.append(max(best_score, 0.0))
-        text = spaced_join(boxes, chars)
-        conf = float(np.mean(scores)) if scores else 0.0
+            glyphs.append(cv2.resize(glyph, (self.glyph_w, self.glyph_h)))
+        # One font per ROI: score each bank over ALL glyphs and read with
+        # the best-explaining bank (per-glyph bank mixing would let look-
+        # alike glyphs from different faces beat a consistent reading).
+        best_chars: list[str] = []
+        best_scores: list[float] = []
+        best_mean = -2.0
+        for _, templates in self.banks:
+            chars: list[str] = []
+            scores: list[float] = []
+            for glyph in glyphs:
+                best_ch, best_score = "", -1.0
+                for ch, tmpl in templates.items():
+                    score = self._ncc(glyph, tmpl)
+                    if score > best_score:
+                        best_ch, best_score = ch, score
+                chars.append(best_ch)
+                scores.append(max(best_score, 0.0))
+            mean = float(np.mean(scores)) if scores else 0.0
+            if mean > best_mean:
+                best_mean, best_chars, best_scores = mean, chars, scores
+        text = spaced_join(boxes, best_chars)
+        conf = float(np.mean(best_scores)) if best_scores else 0.0
         return text, conf
 
     @staticmethod

@@ -26,6 +26,9 @@ REPAIRS = [
     (re.compile(r"^(\d{4})(\d{2})(\d{2})\s+(\d{2})(\d{2})(\d{2})$"), r"\1/\2/\3 \4:\5:\6"),
     # 2025/01/20123456 (lost space and colons) -> 2025/01/20 12:34:56
     (re.compile(r"^(\d{4}/\d{2}/\d{2})\s*(\d{2}):?(\d{2}):?(\d{2})$"), r"\1 \2:\3:\4"),
+    # 2025/01/201234 (lost space, colon glyph dropped — blurred/small dots
+    # fall under Otsu) -> 2025/01/20 12:34
+    (re.compile(r"^(\d{4}/\d{2}/\d{2})\s*(\d{2})(\d{2})$"), r"\1 \2:\3"),
     # 2025/0120 -> 2025/01/20
     (re.compile(r"(\d{4})/(\d{2})(\d{2})\s"), r"\1/\2/\3 "),
     # missing space: 2025/01/2012:34 -> 2025/01/20 12:34

@@ -79,16 +79,24 @@ class ZoningOCREngine:
             canvas = np.zeros((80, 40 * len(CHARSET) + 40), np.uint8)
             cv2.putText(canvas, CHARSET, (10, 58), font, scale, 255,
                         thickness, cv2.LINE_AA)
-            _, binary = cv2.threshold(canvas, 32, 255, cv2.THRESH_BINARY)
-            boxes = TemplateOCREngine._segment(binary)
-            if len(boxes) != len(CHARSET):  # pragma: no cover - font safety
-                continue
-            for i, (x0, y0, x1, y1) in enumerate(boxes):
-                glyph = (binary[y0:y1, x0:x1] > 0).astype(np.float32)
-                glyph = cv2.resize(glyph, (_GLYPH_W, _GLYPH_H))
-                aspect = (x1 - x0) / max(y1 - y0, 1)
-                per_class[i].append(_glyph_features((glyph > 0.5).astype(
-                    np.float32), aspect))
+            # Train each variant sharp AND defocused: Gaussian blur + Otsu
+            # thickens strokes and fuses fine gaps, which shifts the zoning
+            # densities and crossing counts; averaging blurred renders into
+            # the centroids keeps the features valid on soft footage.
+            for sigma in (0.0, 1.5, 3.0):
+                blurred = (canvas if sigma == 0.0
+                           else cv2.GaussianBlur(canvas, (0, 0), sigma))
+                _, binary = cv2.threshold(blurred, 0, 255,
+                                          cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+                boxes = TemplateOCREngine._segment(binary)
+                if len(boxes) != len(CHARSET):  # pragma: no cover - font safety
+                    continue
+                for i, (x0, y0, x1, y1) in enumerate(boxes):
+                    glyph = (binary[y0:y1, x0:x1] > 0).astype(np.float32)
+                    glyph = cv2.resize(glyph, (_GLYPH_W, _GLYPH_H))
+                    aspect = (x1 - x0) / max(y1 - y0, 1)
+                    per_class[i].append(_glyph_features((glyph > 0.5).astype(
+                        np.float32), aspect))
         if not all(per_class):  # pragma: no cover - font safety net
             raise RuntimeError("zoning centroid rendering failed")
         cents = np.stack([np.mean(f, axis=0) for f in per_class])

@@ -34,6 +34,7 @@ def render_frame(
     height: int = 720,
     people: list[tuple[int, ...]] | None = None,
     seed: int = 0,
+    font: str = "FONT_HERSHEY_SIMPLEX",
 ) -> np.ndarray:
     """One BGR frame with timestamp text burned into the top-right ROI.
 
@@ -63,7 +64,8 @@ def render_frame(
     text = timestamp.strftime("%Y/%m/%d %H:%M:%S")
     # ROI: x >= 0.70w, y in [0.045h, 0.105h): put text inside it.
     org = (int(width * 0.715), int(height * 0.09))
-    cv2.putText(frame, text, org, cv2.FONT_HERSHEY_SIMPLEX, 0.85, (255, 255, 255), 2, cv2.LINE_AA)
+    cv2.putText(frame, text, org, getattr(cv2, font), 0.85,
+                (255, 255, 255), 2, cv2.LINE_AA)
     return frame
 
 
@@ -76,6 +78,7 @@ def write_video(
     width: int = 1280,
     height: int = 720,
     people_fn=None,
+    font: str = "FONT_HERSHEY_SIMPLEX",
 ) -> Path:
     """Timelapse video: wall-clock advances ratio/fps seconds per frame."""
     import cv2
@@ -91,6 +94,7 @@ def write_video(
     for i in range(num_frames):
         wall = start_time + timedelta(seconds=i / fps * time_compression_ratio)
         people = people_fn(i) if people_fn else [(300 + 2 * i, 300), (700 - 2 * i, 350)]
-        writer.write(render_frame(wall, width, height, people, seed=i))
+        writer.write(render_frame(wall, width, height, people, seed=i,
+                                  font=font))
     writer.release()
     return path
