@@ -82,9 +82,16 @@ class _Head(nn.Module):
             x = nn.GroupNorm(num_groups=32 if self.head_dim % 32 == 0 else 1,
                              dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.silu(x)
-        obj = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="obj")(x)
+        # Focal-style prior bias (RetinaNet sec. 4.1 / ultralytics
+        # Detect.bias_init analog): start obj/cls at ~1% positive rate so
+        # the first steps don't sum ~0.69 nats over every cell — the
+        # loss-spike mechanism diagnosed in the round-3 replicate re-run
+        # (docs/artifacts/train_recipe_replicates.json).
+        prior = nn.initializers.constant(-4.595)  # logit(0.01)
+        obj = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                      bias_init=prior, name="obj")(x)
         cls = nn.Conv(self.num_classes, (3, 3), padding="SAME", dtype=self.dtype,
-                      name="cls")(x)
+                      bias_init=prior, name="cls")(x)
         ltrb = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype, name="box")(x)
         return {
             "objectness": obj[..., 0].astype(jnp.float32),

@@ -195,13 +195,24 @@ class Detect(nn.Module):
         c3 = max(self.in_channels[0], min(cfg.num_classes, 100))
         levels = []
         for l, f in enumerate(feats):
+            # Prior bias init (ultralytics Detect.bias_init): box-dist bias
+            # 1.0; class bias log(5/nc/(640/s)^2) so the initial positive
+            # rate is ~5 objects/640px image instead of p=0.5 on every cell.
+            # Without it the first epochs SUM ~0.69 nats over every cell and
+            # Adam at fine-tune LRs swings the logits violently — the
+            # 1e5-scale epoch-loss spikes in the round-2 replicate artifact
+            # (docs/artifacts/train_recipe_replicates.json).
+            stride = cfg.strides[l] if l < len(cfg.strides) else 32
+            cls_prior = math.log(5.0 / cfg.num_classes / (640.0 / stride) ** 2)
             box = ConvBlock(c2, 3, dtype=self.dtype, name=f"cv2_{l}_0")(f)
             box = ConvBlock(c2, 3, dtype=self.dtype, name=f"cv2_{l}_1")(box)
             box = nn.Conv(4 * cfg.reg_max, (1, 1), dtype=self.dtype,
+                          bias_init=nn.initializers.constant(1.0),
                           name=f"cv2_{l}_2")(box)
             cls = ConvBlock(c3, 3, dtype=self.dtype, name=f"cv3_{l}_0")(f)
             cls = ConvBlock(c3, 3, dtype=self.dtype, name=f"cv3_{l}_1")(cls)
             cls = nn.Conv(cfg.num_classes, (1, 1), dtype=self.dtype,
+                          bias_init=nn.initializers.constant(cls_prior),
                           name=f"cv3_{l}_2")(cls)
             levels.append({
                 "box_dist": box.astype(jnp.float32),   # (B, fh, fw, 4*reg_max)

@@ -1,0 +1,126 @@
+"""Re-run the 3-seed recipe-vs-plain replication and emit the committed
+artifact (docs/artifacts/train_recipe_replicates.json).
+
+Protocol (docs/training.md §"Measured: the recipe is more robust under
+distribution shift"): identical data/steps/lr per seed; the val split is
+distribution-shifted (mirrored objects + unseen global gains); seeds vary
+init, shuffle and the step rng. The reference's analog is repeated
+ultralytics fine-tune runs on its domain dataset
+(reference tools/train_yolov8.py:18-40).
+
+Round 3 adds spike accounting: per-run ``worst_epoch_loss``,
+``steady_state_loss`` (median of the last 10 epoch means) and the
+per-component worst epoch terms, so the VERDICT-6 bound
+(worst < 10x steady-state on every seed) is asserted from the artifact
+(tests/test_training.py::test_committed_recipe_replication).
+
+Usage:
+  python tools/run_recipe_replicates.py --out docs/artifacts/train_recipe_replicates.json \
+      [--data /tmp/recipe_data] [--work /tmp/recipe_runs] [--seeds 0 1 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+BASE = ["--model", "yolo", "--yolo-variant", "n", "--tiny",
+        "--epochs", "40", "--batch", "8", "--lr", "3e-3",
+        "--evaluate", "--eval-every", "10"]
+RECIPE = ["--schedule", "cosine", "--warmup-steps", "10",
+          "--ema", "0.99", "--augment"]
+
+
+def run_one(data: Path, work: Path, arm: str, seed: int,
+            platform: str | None) -> dict:
+    from tools.train_detr import main as train_main
+
+    ckpt = work / f"{arm}_s{seed}"
+    argv = BASE + [
+        "--images", str(data / "train" / "images"),
+        "--annotations", str(data / "train" / "coco.json"),
+        "--val-images", str(data / "val" / "images"),
+        "--val-annotations", str(data / "val" / "coco.json"),
+        "--checkpoint", str(ckpt),
+        "--seed", str(seed),
+    ]
+    if arm == "recipe":
+        argv += RECIPE
+    if platform:
+        argv += ["--platform", platform]
+    rc = train_main(argv)
+    if rc != 0:
+        raise RuntimeError(f"{arm} seed {seed} exited {rc}")
+
+    hist = json.loads((ckpt / "history.json").read_text())
+    epoch_losses = [l for l in hist["epoch_losses"] if l is not None]
+    final_eval = hist["evals"][-1]
+    steady = statistics.median(epoch_losses[-10:])
+    worst_i = max(range(len(epoch_losses)), key=lambda i: epoch_losses[i])
+    worst_components = hist.get("epoch_metrics", [{}])[worst_i]
+    return {
+        "f1": round(final_eval["f1"], 3),
+        "ap50": round(final_eval["ap50"], 3),
+        "map_50_95": round(final_eval["map"], 3),
+        "worst_epoch_loss": round(epoch_losses[worst_i], 1),
+        "steady_state_loss": round(steady, 2),
+        "spike_ratio": round(epoch_losses[worst_i] / max(steady, 1e-9), 2),
+        "worst_epoch_components": {
+            k: round(v, 2) for k, v in worst_components.items()},
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--out", type=Path,
+                   default=REPO / "docs/artifacts/train_recipe_replicates.json")
+    p.add_argument("--data", type=Path, default=Path("/tmp/recipe_data"))
+    p.add_argument("--work", type=Path, default=Path("/tmp/recipe_runs"))
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if not (args.data / "train" / "coco.json").exists():
+        from tools.gen_recipe_dataset import main as gen_main
+        gen_main(["--out", str(args.data)])
+
+    runs: dict[str, dict] = {"plain": {}, "recipe": {}}
+    for arm in ("plain", "recipe"):
+        for seed in args.seeds:
+            print(f"=== {arm} seed {seed} ===", flush=True)
+            runs[arm][str(seed)] = run_one(
+                args.data, args.work, arm, seed, args.platform)
+            print(json.dumps(runs[arm][str(seed)]), flush=True)
+
+    doc = {
+        "protocol": ("identical data/steps/lr per seed; val "
+                     "distribution-shifted (mirrored objects + unseen "
+                     "global gains); seeds vary init, shuffle, and step "
+                     "rng (--seed); heads carry the focal-style prior "
+                     "bias init (round 3)"),
+        "runs": runs,
+        "summary": {
+            "recipe_final_f1": [runs["recipe"][str(s)]["f1"] for s in args.seeds],
+            "plain_final_f1": [runs["plain"][str(s)]["f1"] for s in args.seeds],
+            "mean_map_recipe": round(statistics.mean(
+                runs["recipe"][str(s)]["map_50_95"] for s in args.seeds), 3),
+            "mean_map_plain": round(statistics.mean(
+                runs["plain"][str(s)]["map_50_95"] for s in args.seeds), 3),
+            "max_spike_ratio": round(max(
+                runs[a][str(s)]["spike_ratio"]
+                for a in runs for s in args.seeds), 2),
+        },
+    }
+    args.out.write_text(json.dumps(doc, indent=1))
+    print(json.dumps(doc["summary"], indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
