@@ -42,6 +42,11 @@ def run_one(data: Path, work: Path, arm: str, seed: int,
     from tools.train_detr import main as train_main
 
     ckpt = work / f"{arm}_s{seed}"
+    hist_path = ckpt / "history.json"
+    if hist_path.exists():  # reuse a completed run on restart
+        done = json.loads(hist_path.read_text())
+        if len(done.get("epoch_losses", [])) >= 40 and done.get("evals"):
+            return _summarize(done)
     argv = BASE + [
         "--images", str(data / "train" / "images"),
         "--annotations", str(data / "train" / "coco.json"),
@@ -59,15 +64,19 @@ def run_one(data: Path, work: Path, arm: str, seed: int,
         raise RuntimeError(f"{arm} seed {seed} exited {rc}")
 
     hist = json.loads((ckpt / "history.json").read_text())
+    return _summarize(hist)
+
+
+def _summarize(hist: dict) -> dict:
     epoch_losses = [l for l in hist["epoch_losses"] if l is not None]
     final_eval = hist["evals"][-1]
     steady = statistics.median(epoch_losses[-10:])
     worst_i = max(range(len(epoch_losses)), key=lambda i: epoch_losses[i])
     worst_components = hist.get("epoch_metrics", [{}])[worst_i]
     return {
-        "f1": round(final_eval["f1"], 3),
-        "ap50": round(final_eval["ap50"], 3),
-        "map_50_95": round(final_eval["map"], 3),
+        "f1": round(final_eval["f1_score"], 3),
+        "ap50": round(final_eval["ap_50"], 3),
+        "map_50_95": round(final_eval["map_50_95"], 3),
         "worst_epoch_loss": round(epoch_losses[worst_i], 1),
         "steady_state_loss": round(steady, 2),
         "spike_ratio": round(epoch_losses[worst_i] / max(steady, 1e-9), 2),
