@@ -67,19 +67,32 @@ def run_one(data: Path, work: Path, arm: str, seed: int,
     return _summarize(hist)
 
 
+#: Epochs before this index are the descent-from-init transient: the loss
+#: legitimately starts at the random-init value there, so "divergence" is
+#: only meaningful afterwards (the round-2 1e5-scale spikes all occurred
+#: mid-run, well past this window).
+WARMUP_EPOCHS = 5
+
+
 def _summarize(hist: dict) -> dict:
     epoch_losses = [l for l in hist["epoch_losses"] if l is not None]
     final_eval = hist["evals"][-1]
     steady = statistics.median(epoch_losses[-10:])
     worst_i = max(range(len(epoch_losses)), key=lambda i: epoch_losses[i])
     worst_components = hist.get("epoch_metrics", [{}])[worst_i]
+    post_i = max(range(WARMUP_EPOCHS, len(epoch_losses)),
+                 key=lambda i: epoch_losses[i])
     return {
         "f1": round(final_eval["f1_score"], 3),
         "ap50": round(final_eval["ap_50"], 3),
         "map_50_95": round(final_eval["map_50_95"], 3),
         "worst_epoch_loss": round(epoch_losses[worst_i], 1),
+        "worst_epoch_index": worst_i + 1,
+        "worst_post_warmup_loss": round(epoch_losses[post_i], 1),
         "steady_state_loss": round(steady, 2),
         "spike_ratio": round(epoch_losses[worst_i] / max(steady, 1e-9), 2),
+        "post_warmup_spike_ratio": round(
+            epoch_losses[post_i] / max(steady, 1e-9), 2),
         "worst_epoch_components": {
             k: round(v, 2) for k, v in worst_components.items()},
     }
@@ -123,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
                 runs["plain"][str(s)]["map_50_95"] for s in args.seeds), 3),
             "max_spike_ratio": round(max(
                 runs[a][str(s)]["spike_ratio"]
+                for a in runs for s in args.seeds), 2),
+            "max_post_warmup_spike_ratio": round(max(
+                runs[a][str(s)]["post_warmup_spike_ratio"]
                 for a in runs for s in args.seeds), 2),
         },
     }
