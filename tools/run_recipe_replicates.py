@@ -67,20 +67,24 @@ def run_one(data: Path, work: Path, arm: str, seed: int,
     return _summarize(hist)
 
 
-#: Epochs before this index are the descent-from-init transient: the loss
-#: legitimately starts at the random-init value there, so "divergence" is
-#: only meaningful afterwards (the round-2 1e5-scale spikes all occurred
-#: mid-run, well past this window).
-WARMUP_EPOCHS = 5
-
-
 def _summarize(hist: dict) -> dict:
+    """Per-run quality + spike accounting.
+
+    Divergence is measured from CONVERGENCE ONSET: the first epoch whose
+    mean loss drops below 2x the final steady state. Everything before
+    that is the descent-from-init / peak-LR transient (the loss
+    legitimately passes through large values there); a spike AFTER onset
+    means training left its converged basin — the round-2 1e5-scale
+    events were exactly that, mid-run.
+    """
     epoch_losses = [l for l in hist["epoch_losses"] if l is not None]
     final_eval = hist["evals"][-1]
     steady = statistics.median(epoch_losses[-10:])
     worst_i = max(range(len(epoch_losses)), key=lambda i: epoch_losses[i])
     worst_components = hist.get("epoch_metrics", [{}])[worst_i]
-    post_i = max(range(WARMUP_EPOCHS, len(epoch_losses)),
+    onset = next((i for i, l in enumerate(epoch_losses) if l < 2 * steady),
+                 len(epoch_losses) - 1)
+    post_i = max(range(onset, len(epoch_losses)),
                  key=lambda i: epoch_losses[i])
     return {
         "f1": round(final_eval["f1_score"], 3),
@@ -88,10 +92,11 @@ def _summarize(hist: dict) -> dict:
         "map_50_95": round(final_eval["map_50_95"], 3),
         "worst_epoch_loss": round(epoch_losses[worst_i], 1),
         "worst_epoch_index": worst_i + 1,
-        "worst_post_warmup_loss": round(epoch_losses[post_i], 1),
+        "convergence_onset_epoch": onset + 1,
+        "worst_post_onset_loss": round(epoch_losses[post_i], 1),
         "steady_state_loss": round(steady, 2),
         "spike_ratio": round(epoch_losses[worst_i] / max(steady, 1e-9), 2),
-        "post_warmup_spike_ratio": round(
+        "post_onset_spike_ratio": round(
             epoch_losses[post_i] / max(steady, 1e-9), 2),
         "worst_epoch_components": {
             k: round(v, 2) for k, v in worst_components.items()},
@@ -137,8 +142,8 @@ def main(argv: list[str] | None = None) -> int:
             "max_spike_ratio": round(max(
                 runs[a][str(s)]["spike_ratio"]
                 for a in runs for s in args.seeds), 2),
-            "max_post_warmup_spike_ratio": round(max(
-                runs[a][str(s)]["post_warmup_spike_ratio"]
+            "max_post_onset_spike_ratio": round(max(
+                runs[a][str(s)]["post_onset_spike_ratio"]
                 for a in runs for s in args.seeds), 2),
         },
     }
