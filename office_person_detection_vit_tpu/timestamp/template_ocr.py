@@ -37,6 +37,10 @@ _FONT_BANKS = (
     ("FONT_HERSHEY_COMPLEX_SMALL", 2.2, 2),
     ("FONT_HERSHEY_SCRIPT_SIMPLEX", 1.7, 2),
     ("FONT_HERSHEY_SCRIPT_COMPLEX", 1.7, 2),
+    # Non-Hershey family: the 5x7 dot-matrix bitmap font (bitmap_font.py).
+    # Security-camera overlays are frequently dot-matrix; this also breaks
+    # the Hershey monoculture of the synthetic robustness evidence.
+    ("BITMAP_5X7", 5, 0),
 )
 
 
@@ -91,11 +95,17 @@ class TemplateOCREngine:
         script faces whose glyphs touch) — that bank is skipped."""
         import cv2
 
-        canvas = np.zeros((80, 40 * len(CHARSET) + 40), np.uint8)
-        cv2.putText(
-            canvas, CHARSET, (10, 58), getattr(cv2, font_name), scale, 255,
-            thickness, cv2.LINE_AA,
-        )
+        if font_name == "BITMAP_5X7":
+            from .bitmap_font import render_text
+
+            canvas = render_text(CHARSET, scale=int(scale), fg=255, bg=0,
+                                 pad=10, tracking=2)
+        else:
+            canvas = np.zeros((80, 40 * len(CHARSET) + 40), np.uint8)
+            cv2.putText(
+                canvas, CHARSET, (10, 58), getattr(cv2, font_name), scale,
+                255, thickness, cv2.LINE_AA,
+            )
         if sigma > 0:
             canvas = cv2.GaussianBlur(canvas, (0, 0), sigma)
             _, binary = cv2.threshold(canvas, 0, 255,

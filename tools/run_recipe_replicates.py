@@ -9,10 +9,12 @@ ultralytics fine-tune runs on its domain dataset
 (reference tools/train_yolov8.py:18-40).
 
 Round 3 adds spike accounting: per-run ``worst_epoch_loss``,
-``steady_state_loss`` (median of the last 10 epoch means) and the
-per-component worst epoch terms, so the VERDICT-6 bound
-(worst < 10x steady-state on every seed) is asserted from the artifact
-(tests/test_training.py::test_committed_recipe_replication).
+``steady_state_loss`` (median of the last 10 epoch means), the
+per-component worst epoch terms, and ``post_onset_spike_ratio``
+(divergence measured from convergence onset, separating the legitimate
+descent-from-init transient from a mid-run basin exit).
+tests/test_training.py::test_committed_recipe_replication asserts the
+post-onset bound from the committed artifact.
 
 Usage:
   python tools/run_recipe_replicates.py --out docs/artifacts/train_recipe_replicates.json \
@@ -30,11 +32,24 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+EPOCHS = 40
+BATCH = 8
+LR = 3e-3
 BASE = ["--model", "yolo", "--yolo-variant", "n", "--tiny",
-        "--epochs", "40", "--batch", "8", "--lr", "3e-3",
+        "--epochs", str(EPOCHS), "--batch", str(BATCH), "--lr", str(LR),
         "--evaluate", "--eval-every", "10"]
 RECIPE = ["--schedule", "cosine", "--warmup-steps", "10",
           "--ema", "0.99", "--augment"]
+
+#: history.json "config" values each arm's run must have recorded for a
+#: cached run to be reusable (ADVICE r3: a stale work dir from an earlier
+#: protocol must rerun, not silently enter the artifact).
+ARM_CONFIG = {
+    "plain": {"batch": BATCH, "lr": LR, "tiny": True, "schedule": "none",
+              "warmup_steps": 0, "ema": 0.0, "augment": False},
+    "recipe": {"batch": BATCH, "lr": LR, "tiny": True, "schedule": "cosine",
+               "warmup_steps": 10, "ema": 0.99, "augment": True},
+}
 
 
 def run_one(data: Path, work: Path, arm: str, seed: int,
@@ -45,8 +60,13 @@ def run_one(data: Path, work: Path, arm: str, seed: int,
     hist_path = ckpt / "history.json"
     if hist_path.exists():  # reuse a completed run on restart
         done = json.loads(hist_path.read_text())
-        if len(done.get("epoch_losses", [])) >= 40 and done.get("evals"):
+        cfg = done.get("config", {})
+        config_ok = all(cfg.get(k) == v for k, v in ARM_CONFIG[arm].items())
+        if (config_ok and len(done.get("epoch_losses", [])) >= EPOCHS
+                and done.get("evals")):
             return _summarize(done)
+        if hist_path.exists() and not config_ok:
+            print(f"  (cached {ckpt} config mismatch — rerunning)", flush=True)
     argv = BASE + [
         "--images", str(data / "train" / "images"),
         "--annotations", str(data / "train" / "coco.json"),
@@ -77,27 +97,38 @@ def _summarize(hist: dict) -> dict:
     means training left its converged basin — the round-2 1e5-scale
     events were exactly that, mid-run.
     """
-    epoch_losses = [l for l in hist["epoch_losses"] if l is not None]
+    # Keep ORIGINAL epoch indices through the None filter so the reported
+    # epoch numbers and the epoch_metrics lookup stay aligned (ADVICE r3).
+    pairs = [(i, l) for i, l in enumerate(hist["epoch_losses"])
+             if l is not None]
+    losses = [l for _, l in pairs]
     final_eval = hist["evals"][-1]
-    steady = statistics.median(epoch_losses[-10:])
-    worst_i = max(range(len(epoch_losses)), key=lambda i: epoch_losses[i])
-    worst_components = hist.get("epoch_metrics", [{}])[worst_i]
-    onset = next((i for i, l in enumerate(epoch_losses) if l < 2 * steady),
-                 len(epoch_losses) - 1)
-    post_i = max(range(onset, len(epoch_losses)),
-                 key=lambda i: epoch_losses[i])
+    steady = statistics.median(losses[-10:])
+    worst_k = max(range(len(pairs)), key=lambda k: pairs[k][1])
+    worst_i = pairs[worst_k][0]
+    worst_components = hist.get("epoch_metrics", [{}] * (worst_i + 1))[worst_i]
+    onset_k = next((k for k, (_, l) in enumerate(pairs) if l < 2 * steady),
+                   len(pairs) - 1)
+    post_k = max(range(onset_k, len(pairs)), key=lambda k: pairs[k][1])
+    # Guard (ADVICE r3): a run that diverges late and never recovers
+    # inflates `steady`, making the ratio read clean exactly when training
+    # ended diverged — flag that state explicitly instead of trusting the
+    # ratio alone. Healthy tiny-YOLO runs settle around loss ~1.5; 10x
+    # that is an unambiguous never-converged signal.
+    diverged = bool(steady > 15.0 or final_eval["f1_score"] < 0.1)
     return {
         "f1": round(final_eval["f1_score"], 3),
         "ap50": round(final_eval["ap_50"], 3),
         "map_50_95": round(final_eval["map_50_95"], 3),
-        "worst_epoch_loss": round(epoch_losses[worst_i], 1),
+        "worst_epoch_loss": round(pairs[worst_k][1], 1),
         "worst_epoch_index": worst_i + 1,
-        "convergence_onset_epoch": onset + 1,
-        "worst_post_onset_loss": round(epoch_losses[post_i], 1),
+        "convergence_onset_epoch": pairs[onset_k][0] + 1,
+        "worst_post_onset_loss": round(pairs[post_k][1], 1),
         "steady_state_loss": round(steady, 2),
-        "spike_ratio": round(epoch_losses[worst_i] / max(steady, 1e-9), 2),
+        "spike_ratio": round(pairs[worst_k][1] / max(steady, 1e-9), 2),
         "post_onset_spike_ratio": round(
-            epoch_losses[post_i] / max(steady, 1e-9), 2),
+            pairs[post_k][1] / max(steady, 1e-9), 2),
+        "degenerate_final_state": diverged,
         "worst_epoch_components": {
             k: round(v, 2) for k, v in worst_components.items()},
     }
