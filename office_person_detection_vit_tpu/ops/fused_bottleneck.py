@@ -38,6 +38,11 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: Horizontal-pad offset in the y1 staging buffer. Must be a multiple of
+#: the sublane tile (8 for f32, 16 for bf16) so the staging store is
+#: tile-aligned on the second-minor dim; 16 covers both dtypes.
+PAD = 16
+
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM weights
             x_hbm,                                            # (B, H, W, C) HBM
@@ -52,17 +57,20 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM weights
     def dma(slot, bb, jj):
         # Haloed rows jj*TH-1 .. jj*TH+TH, clamped into the image; the
         # residual misalignment d = jj*TH-1-start in {-1,0,1} is fixed up
-        # when y1 lands in the staging buffer.
+        # when y1 lands in the staging buffer. The destination is the whole
+        # (TH+2, W, C) slot — Mosaic requires DMA slices on the tiled
+        # (sublane, lane) dims to be tile-aligned, so the horizontal SAME
+        # padding lives in the y1 staging buffer (aligned offset) instead
+        # of pad columns here.
         start = jnp.clip(jj * TH - 1, 0, H - (TH + 2))
         return pltpu.make_async_copy(
             x_hbm.at[bb, pl.ds(start, TH + 2)],
-            xh.at[slot, :, pl.ds(1, W)],   # cols 0 / W+1 stay zero (pad)
+            xh.at[slot],
             sem.at[slot],
         )
 
     @pl.when(step == 0)
     def _():
-        xh[...] = jnp.zeros_like(xh)  # zero pad columns once; DMAs never touch them
         dma(0, b, j).start()
 
     nxt_b = jnp.where(j + 1 < nj, b, b + 1)
@@ -75,31 +83,43 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM weights
     slot = step % 2
     dma(slot, b, j).wait()
 
-    xt = xh[slot]                         # (TH+2, W+2, C) bf16, cols padded
+    xt = xh[slot]                         # (TH+2, W, C) bf16
     C = xt.shape[-1]
     M = w1_ref.shape[1]
     start = jnp.clip(j * TH - 1, 0, H - (TH + 2))
     d = j * TH - 1 - start                # {-1, 0, 1}
 
-    # --- 1x1 reduce on the haloed tile (one (TH+2)*(W+2) x C matmul).
+    # --- 1x1 reduce on the haloed tile (one (TH+2)*W x C matmul).
     y1 = jnp.dot(xt.reshape(-1, C), w1_ref[...],
                  preferred_element_type=jnp.float32) + b1_ref[...]
-    y1 = jnp.maximum(y1, 0.0).astype(xt.dtype).reshape(TH + 2, W + 2, M)
-    # Zero the pad columns: relu(0 @ W1 + b1) = relu(b1) != 0 there, but the
-    # 3x3's SAME padding must see zeros.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, W + 2, 1), 1)
-    y1 = jnp.where((col >= 1) & (col <= W), y1, 0.0)
+    y1 = jnp.maximum(y1, 0.0).astype(xt.dtype).reshape(TH + 2, W, M)
 
-    # --- Stage y1 so buffer row v+1 = original image row j*TH + v - 1;
-    # rows outside the image stay zero (the 3x3's vertical SAME padding).
+    # --- Stage y1 so buffer row v+1 = original image row j*TH + v - 1 and
+    # buffer col PAD+u = image col u; rows/cols outside the image stay zero
+    # (the 3x3's SAME padding). d only takes {-1, 0, +1} (top tile /
+    # interior / bottom tile), and Mosaic can't lower dynamically-offset
+    # stores — predicated static stores cover the three cases at zero
+    # cost. PAD=16 keeps the store's sublane (column) offset tile-aligned.
     y1_buf[...] = jnp.zeros_like(y1_buf)
-    y1_buf[pl.ds(1 - d, TH + 2)] = y1
+
+    @pl.when(d == -1)
+    def _():
+        y1_buf[2:TH + 4, PAD:PAD + W] = y1
+
+    @pl.when(d == 0)
+    def _():
+        y1_buf[1:TH + 3, PAD:PAD + W] = y1
+
+    @pl.when(d == 1)
+    def _():
+        y1_buf[0:TH + 2, PAD:PAD + W] = y1
 
     # --- 3x3 as 9 shifted MXU matmuls, f32 accumulation.
     acc = jnp.zeros((TH * W, M), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            patch = y1_buf[ky + 1:ky + 1 + TH, kx:kx + W].reshape(TH * W, M)
+            patch = y1_buf[ky + 1:ky + 1 + TH,
+                           PAD - 1 + kx:PAD - 1 + kx + W].reshape(TH * W, M)
             acc += jnp.dot(patch, w2_ref[ky * 3 + kx],
                            preferred_element_type=jnp.float32)
     y2 = jnp.maximum(acc + b2_ref[...], 0.0).astype(xt.dtype)
@@ -107,8 +127,12 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM weights
     # --- 1x1 expand + residual + relu.
     y3 = jnp.dot(y2, w3_ref[...], preferred_element_type=jnp.float32) \
         + b3_ref[...]
-    res = jax.lax.dynamic_slice(
-        xt, (d + 1, 1, 0), (TH, W, C)).reshape(TH * W, C)
+    # Residual rows j*TH..j*TH+TH-1 sit at xt rows d+1..d+1+TH; same
+    # {-1, 0, +1} story as the staging above (dynamic_slice won't lower).
+    res = jnp.where(
+        d == -1, xt[0:TH],
+        jnp.where(d == 1, xt[2:2 + TH], xt[1:1 + TH]),
+    ).reshape(TH * W, C)
     out = jnp.maximum(y3 + res.astype(jnp.float32), 0.0)
     out_ref[...] = out.astype(out_ref.dtype).reshape(1, TH, W, C)
 
@@ -147,8 +171,8 @@ def fused_bottleneck(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, W + 2, C), x.dtype),   # haloed x tiles
-            pltpu.VMEM((tile_h + 4, W + 2, M), x.dtype),      # staged y1
+            pltpu.VMEM((2, tile_h + 2, W, C), x.dtype),        # haloed x tiles
+            pltpu.VMEM((tile_h + 4, W + 2 * PAD, M), x.dtype),  # staged y1
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

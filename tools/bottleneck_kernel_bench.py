@@ -87,45 +87,60 @@ def main(argv=None) -> int:
 
     results = {"device": str(dev), "dtype": args.dtype, "shapes": {}}
     for label, (B, H, W, C, M), tiles in SHAPES:
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), dt)
-        ws = (
-            jnp.asarray(rng.normal(0, 0.1, (C, M)), dt),
-            jnp.asarray(rng.normal(0, 0.1, (M,)), jnp.float32),
-            jnp.asarray(rng.normal(0, 0.1, (3, 3, M, M)), dt),
-            jnp.asarray(rng.normal(0, 0.1, (M,)), jnp.float32),
-            jnp.asarray(rng.normal(0, 0.1, (M, C)), dt),
-            jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
-        )
-        gflop = 2 * B * H * W * (C * M + 9 * M * M + M * C) / 1e9
-        io_gb = 2 * B * H * W * C * x.dtype.itemsize / 1e9
-
         if args.interpret:
             # Small-shape plumbing drive only.
             B, H, W = 2, 16, 24
-            x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), dt)
-        # Parity on hardware first.
-        ref = np.asarray(bottleneck_reference(x, *ws), np.float32)
+        # Generate inputs ON DEVICE (jax.random inside jit): a 482 MB
+        # incompressible host->device upload takes minutes over the tunnel
+        # and times out exactly when the measurement matters most.
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 7)
+
+        @jax.jit
+        def make_inputs(ks=ks, B=B, H=H, W=W):
+            x = jax.random.normal(ks[0], (B, H, W, C), dt)
+            ws = (
+                (0.1 * jax.random.normal(ks[1], (C, M))).astype(dt),
+                0.1 * jax.random.normal(ks[2], (M,)),
+                (0.1 * jax.random.normal(ks[3], (3, 3, M, M))).astype(dt),
+                0.1 * jax.random.normal(ks[4], (M,)),
+                (0.1 * jax.random.normal(ks[5], (M, C))).astype(dt),
+                0.1 * jax.random.normal(ks[6], (C,)),
+            )
+            return x, ws
+
+        x, ws = make_inputs()
+        gflop = 2 * B * H * W * (C * M + 9 * M * M + M * C) / 1e9
+        io_gb = 2 * B * H * W * C * x.dtype.itemsize / 1e9
         entry = {"gflop": round(gflop, 1), "io_gb": round(io_gb, 3)}
         t_ref = chain(lambda xx, *w: bottleneck_reference(xx, *w),
                       (x, *ws), iters=args.iters)
         entry["xla_ms"] = round(t_ref, 3)
         entry["xla_tflops"] = round(gflop / t_ref, 1)
-        print(f"{label}: XLA {t_ref:.3f} ms ({gflop / t_ref:.0f} TFLOP/s)")
+        print(f"{label}: XLA {t_ref:.3f} ms ({gflop / t_ref:.0f} TFLOP/s)",
+              flush=True)
 
         for th in tiles:
             if H % th:
                 continue
-            got = np.asarray(
-                fused_bottleneck(x, *ws, tile_h=th, interpret=args.interpret), np.float32)
-            err = float(np.abs(got - ref).max())
+            # Parity ON DEVICE too — only the max|diff| scalar crosses the
+            # wire (the full f32 output is ~1 GB of incompressible traffic).
+            @jax.jit
+            def maxerr(xx, *w, th=th):
+                ref = bottleneck_reference(xx, *w).astype(jnp.float32)
+                got = fused_bottleneck(
+                    xx, *w, tile_h=th, interpret=args.interpret
+                ).astype(jnp.float32)
+                return jnp.abs(got - ref).max()
+
+            err = float(np.asarray(maxerr(x, *ws)))
             t = chain(lambda xx, *w: fused_bottleneck(xx, *w, tile_h=th, interpret=args.interpret),
                       (x, *ws), iters=args.iters)
             entry[f"pallas_th{th}_ms"] = round(t, 3)
             entry[f"pallas_th{th}_tflops"] = round(gflop / t, 1)
             entry[f"pallas_th{th}_maxerr"] = round(err, 5)
             print(f"{label}: pallas tile_h={th} {t:.3f} ms "
-                  f"({gflop / t:.0f} TFLOP/s, maxerr {err:.4f})")
+                  f"({gflop / t:.0f} TFLOP/s, maxerr {err:.4f})", flush=True)
         results["shapes"][label] = entry
 
     if args.json_out:
