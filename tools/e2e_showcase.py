@@ -116,7 +116,7 @@ def cmd_gen_data(args) -> int:
         images, anns = [], []
         aid = 1
         for i in range(n):
-            k = int(rng.integers(1, 5))
+            k = int(rng.integers(1, args.max_people + 1))
             people = []
             for _ in range(k):
                 people.append((int(rng.integers(10, 1200)),
@@ -137,6 +137,60 @@ def cmd_gen_data(args) -> int:
             {"images": images, "annotations": anns,
              "categories": [{"id": 1, "name": "person"}]}))
         print(f"{root}: {n} images, {aid - 1} boxes")
+    return 0
+
+
+# ------------------------------------------------------------------ config
+def cmd_gen_config(args) -> int:
+    """Write the full-pipeline config for the showcase run: trained tiny
+    DETR checkpoint, dense 60 s tracking grid over the scenario video,
+    identity homography + left/right floor zones (the scenario's geometry
+    is already in floor pixels)."""
+    import yaml
+
+    cfg = {
+        "video": {
+            "input_path": str(Path(args.video).resolve()),
+            "fps": 30,
+            "frame_interval_minutes": 5,
+            "tolerance_seconds": 60,
+            "time_compression_ratio": 313.0,
+            "dense_tracking": {
+                "enabled": True,
+                "tracking_interval_seconds": args.interval_s,
+            },
+        },
+        "detection": {
+            "confidence_threshold": args.conf,
+            "batch_size": 8,
+            "device": args.device,
+            "model_size": "tiny",
+            "checkpoint_path": str(Path(args.weights).resolve()),
+            "input_height": args.height,
+            "input_width": args.width,
+            "dtype": "float32" if args.device == "cpu" else "bfloat16",
+            "use_pallas_attention": False,
+        },
+        "tracking": {"enabled": True},
+        "transform": {"method": "homography"},
+        "homography": {"matrix": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]},
+        "zones": [
+            {"id": "zone_a", "name": "A",
+             "polygon": [[0, 0], [640, 0], [640, 720], [0, 720]]},
+            {"id": "zone_b", "name": "B",
+             "polygon": [[640, 0], [1280, 0], [1280, 720], [640, 720]]},
+        ],
+        "output": {"directory": str(Path(args.out_dir).resolve())},
+        "timestamp": {
+            "extraction_mode": "auto_targets",
+            "auto_targets": {"disable_validation": True},
+            "sampling": {"coarse_interval_seconds": 0.5},
+            "extraction": {"confidence_threshold": 0.3},
+        },
+    }
+    Path(args.out).write_text(yaml.safe_dump(cfg, sort_keys=False))
+    print(f"{args.out}: pipeline config (video={args.video}, "
+          f"weights={args.weights}, {args.interval_s}s grid)")
     return 0
 
 
@@ -190,6 +244,9 @@ def cmd_score(args) -> int:
         **mot.to_dict(),
         "hota": hota.hota, "det_a": hota.det_a, "ass_a": hota.ass_a,
     }
+    for kv in args.meta or []:
+        k, _, v = kv.partition("=")
+        out.setdefault("meta", {})[k] = v
     print(json.dumps(out, indent=2))
     if args.out:
         Path(args.out).write_text(json.dumps(out, indent=2))
@@ -205,12 +262,28 @@ def main(argv=None) -> int:
     g.add_argument("--train-n", type=int, default=96)
     g.add_argument("--val-n", type=int, default=16)
     g.add_argument("--seed", type=int, default=7)
+    g.add_argument("--max-people", type=int, default=4,
+                   help="people per image drawn uniformly from "
+                        "1..max; 1 = the single-object curriculum "
+                        "stage (docs/training.md)")
     g.set_defaults(fn=cmd_gen_data)
 
     v = sub.add_parser("gen-video")
     v.add_argument("--out", required=True)
     v.add_argument("--frames", type=int, default=600)
     v.set_defaults(fn=cmd_gen_video)
+
+    c = sub.add_parser("gen-config")
+    c.add_argument("--video", required=True)
+    c.add_argument("--weights", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--out-dir", required=True)
+    c.add_argument("--device", default="auto")
+    c.add_argument("--conf", type=float, default=0.5)
+    c.add_argument("--height", type=int, default=224)
+    c.add_argument("--width", type=int, default=384)
+    c.add_argument("--interval-s", type=float, default=60.0)
+    c.set_defaults(fn=cmd_gen_config)
 
     q = sub.add_parser("gold-gt")
     q.add_argument("--session", required=True)
@@ -222,6 +295,9 @@ def main(argv=None) -> int:
     s.add_argument("--session", required=True)
     s.add_argument("--gt", required=True)
     s.add_argument("--out", default=None)
+    s.add_argument("--meta", action="append", default=None,
+                   help="key=value provenance entries embedded in the "
+                        "score JSON (detector, platform, protocol ...)")
     s.set_defaults(fn=cmd_score)
 
     args = p.parse_args(argv)
