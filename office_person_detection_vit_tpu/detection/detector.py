@@ -105,8 +105,11 @@ class DETRDetector:
                     vit_patch_size=int(get("detection.patch_size", 16)),
                 )
             # model_size=tiny gives a small random-init model for tests and
-            # multi-chip dry runs; "full" is the DETR-ResNet50 architecture.
-            if str(get("detection.model_size", "full")) == "tiny":
+            # multi-chip dry runs; "small" is the mid-capacity tier
+            # (DETRConfig.small — generalizes on multi-object scenes where
+            # tiny only memorizes); "full" is the DETR-ResNet50 architecture.
+            model_size = str(get("detection.model_size", "full"))
+            if model_size in ("tiny", "small"):
                 common.pop("num_queries")
                 if common.get("backbone") == "vit":
                     from ..models.vit import ViTConfig
@@ -118,7 +121,7 @@ class DETRDetector:
                         vit_heads=t.num_heads, vit_mlp=t.mlp_dim,
                         vit_pos_grid=t.pos_grid,
                     )
-                detr_config = DETRConfig.tiny(**common)
+                detr_config = getattr(DETRConfig, model_size)(**common)
             else:
                 detr_config = DETRConfig(**common)
         self.detr_config = detr_config

@@ -84,6 +84,30 @@ class DETRConfig:
         defaults.update(kw)
         return cls(**defaults)
 
+    @classmethod
+    def small(cls, **kw) -> "DETRConfig":
+        """Middle capacity tier (~2.5M params): enough transformer width
+        for queries to specialize on multi-object scenes (the d_model=64
+        tiny tier memorizes its train set but does not generalize —
+        measured in docs/training.md §"DETR at tiny scale"), while staying
+        minutes-per-hundred-epochs trainable on one chip. The analog of
+        the reference's selectable detector sizes (yolov8n..x,
+        reference tools/train_yolov8.py / config.yaml:32)."""
+        defaults = dict(
+            num_queries=25,
+            d_model=128,
+            num_heads=8,
+            num_encoder_layers=3,
+            num_decoder_layers=3,
+            ffn_dim=512,
+            backbone_depths=(2, 2, 2, 2),
+            backbone_hidden=(64, 128, 256, 512),
+            backbone_embedding=32,
+            dropout=0.0,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
 
 class DETR(nn.Module):
     """Full detector. Input NHWC pixel values + bool pixel mask.

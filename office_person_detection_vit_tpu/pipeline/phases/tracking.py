@@ -67,7 +67,9 @@ class TrackingPhase(BasePhase):
             self.reid.detector = self.detector
             self.reid.load_model()
 
-    def _attach_detector_features(self, frame_results, detection_batch) -> None:
+    def _attach_detector_features(
+        self, frame_results, detection_batch, frames=None
+    ) -> None:
         """ROI-pool Phase-2 encoder features per detection so the tracker's
         appearance cascade is active even without a Re-ID model (reference
         TrackingPhase shares the detector's features, phases/tracking.py:46).
@@ -78,6 +80,30 @@ class TrackingPhase(BasePhase):
             or not hasattr(self.detector, "_pool_features")
             or getattr(self.detector, "_last_encoder_chunks", None) in (None, [])
         ):
+            # Conv detectors (yolo/ssd) have no encoder feature map; fall
+            # back to their crop-feature contract (reference
+            # yolov8_detector.py:161-190 / feature_extractor.py:90-137 —
+            # BGR-histogram crop features) so the appearance cascade stays
+            # active instead of silently degrading to IoU-only matching.
+            if (
+                frames is not None
+                and self.detector is not None
+                and hasattr(self.detector, "extract_features")
+            ):
+                for fr, frame in zip(frame_results, frames):
+                    dets = [d for d in fr.detections if d.feature is None]
+                    if not dets or frame is None:
+                        continue
+                    try:
+                        feats = self.detector.extract_features(
+                            frame, [d.bbox for d in dets]
+                        )
+                    except Exception as e:  # enhancement, not a requirement
+                        self.logger.warning(
+                            "could not extract crop features: %s", e)
+                        return
+                    for det, f in zip(dets, feats):
+                        det.feature = np.asarray(f, np.float32)
             return
         try:
             feats = np.asarray(self.detector._pool_features(detection_batch))
@@ -112,7 +138,7 @@ class TrackingPhase(BasePhase):
         self.log_banner()
         self.initialize()
         if self.reid is None:
-            self._attach_detector_features(frame_results, detection_batch)
+            self._attach_detector_features(frame_results, detection_batch, frames)
         id_set: set[int] = set()
         if self.engine == "scan" and self.hybrid:
             self.logger.warning(

@@ -161,10 +161,12 @@ def cmd_gen_config(args) -> int:
             },
         },
         "detection": {
+            "model": args.model,
+            "yolo_variant": args.yolo_variant,
             "confidence_threshold": args.conf,
             "batch_size": 8,
             "device": args.device,
-            "model_size": "tiny",
+            "model_size": args.size,
             "checkpoint_path": str(Path(args.weights).resolve()),
             "input_height": args.height,
             "input_width": args.width,
@@ -278,6 +280,9 @@ def main(argv=None) -> int:
     c.add_argument("--weights", required=True)
     c.add_argument("--out", required=True)
     c.add_argument("--out-dir", required=True)
+    c.add_argument("--model", default="detr", choices=["detr", "yolo", "ssd"])
+    c.add_argument("--yolo-variant", default="n")
+    c.add_argument("--size", default="tiny", choices=["full", "small", "tiny"])
     c.add_argument("--device", default="auto")
     c.add_argument("--conf", type=float, default=0.5)
     c.add_argument("--height", type=int, default=224)

@@ -246,6 +246,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     parser.add_argument("--max-targets", type=int, default=32)
     parser.add_argument("--tiny", action="store_true", help="tiny model (smoke tests)")
+    parser.add_argument("--model-size", choices=["full", "small", "tiny"],
+                        default=None,
+                        help="DETR capacity tier (DETRConfig.small/tiny); "
+                             "--tiny is shorthand for --model-size tiny")
     parser.add_argument("--model", choices=["detr", "yolo"], default="detr",
                         help="detector family: detr (Hungarian-matched set "
                              "loss) or yolo (YOLOv8, BCE+CIoU+DFL — the "
@@ -313,6 +317,9 @@ def main(argv: list[str] | None = None) -> int:
                              "import, so this flag is the reliable way to "
                              "train on host CPU")
     args = parser.parse_args(argv)
+    # --tiny is shorthand for --model-size tiny; either spelling wins.
+    size = args.model_size or ("tiny" if args.tiny else "full")
+    args.tiny = size == "tiny"
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
@@ -411,8 +418,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.dropout is not None:
             extra["dropout"] = args.dropout
         cfg = (
-            DETRConfig.tiny(use_pallas_attention=False, remat=args.remat, **extra)
-            if args.tiny
+            getattr(DETRConfig, size)(use_pallas_attention=False,
+                                      remat=args.remat, **extra)
+            if size in ("tiny", "small")
             else DETRConfig(dtype="bfloat16", remat=args.remat,
                             use_pallas_attention=False,  # XLA attention faster at DETR scale (measured)
                             **extra)
@@ -552,6 +560,7 @@ def main(argv: list[str] | None = None) -> int:
         "batch": args.batch, "lr": args.lr, "devices": n_dev,
         "data_parallel": int(max(data_parallel, 1)),
         "model_parallel": args.model_parallel, "tiny": args.tiny,
+        "model_size": size,
         "schedule": args.schedule, "warmup_steps": args.warmup_steps,
         "accum_steps": args.accum_steps, "ema": args.ema,
         "augment": bool(args.augment),
