@@ -496,3 +496,56 @@ class TestViTBackbonePipeline:
         session = orch.output.session_dir
         assert (session / "05_aggregation" / "zone_counts.csv").exists()
         assert (session / "04_transform" / "coordinate_transformations.json").exists()
+
+
+def test_tracking_crop_feature_fallback_for_conv_detectors(tmp_path):
+    """Conv detectors (yolo/ssd) have no encoder feature map; Phase 2.5
+    must fall back to their crop-histogram feature contract (reference
+    yolov8_detector.py:161-190) instead of silently running the cascade
+    IoU-only — the round-4 closed-loop bug (IDF1 0.563 -> 0.983)."""
+    from office_person_detection_vit_tpu.core.dto import Detection, FrameResult
+    from office_person_detection_vit_tpu.detection.features import (
+        crop_histogram_features,
+    )
+    from office_person_detection_vit_tpu.pipeline.phases.tracking import (
+        TrackingPhase,
+    )
+
+    class ConvDetectorStub:
+        """YOLODetector-shaped: extract_features but no _pool_features."""
+
+        def extract_features(self, frame, bboxes):
+            return crop_histogram_features(
+                frame, np.asarray(bboxes, np.float32))
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 255, (72, 96, 3), np.uint8) for _ in range(2)]
+    frame_results = []
+    for i in range(2):
+        fr = FrameResult(frame_number=i, timestamp=None)
+        fr.detections = [Detection(bbox=(8.0 + 20 * i, 10.0, 24.0, 40.0),
+                                   confidence=0.9)]
+        frame_results.append(fr)
+
+    cfg = _config(tmp_path, "unused.mp4", **{"tracking.enabled": True})
+    phase = TrackingPhase(cfg)
+    phase.set_detector(ConvDetectorStub())
+    # detection_batch present but useless for pooling -> crop fallback
+    phase._attach_detector_features(frame_results, object(), frames)
+    for fr in frame_results:
+        for d in fr.detections:
+            assert d.feature is not None
+            assert d.feature.ndim == 1 and float(np.linalg.norm(d.feature)) > 0
+
+
+def test_detector_small_model_size(tmp_path):
+    """detection.model_size=small builds the DETRConfig.small mid-tier
+    (generalization tier measured in docs/training.md round 4)."""
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+
+    cfg = _config(tmp_path, "unused.mp4",
+                  **{"detection.model_size": "small"})
+    det = DETRDetector(cfg)
+    assert det.detr_config.d_model == 128
+    assert det.detr_config.num_queries == 25
+    assert det.detr_config.num_encoder_layers == 3
