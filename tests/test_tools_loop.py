@@ -336,3 +336,50 @@ class TestPerfTools:
         assert {"enc-self-B16", "dec-cross-B16", "dec-self-B16"} <= names
         for _, (B, H, Lq, Lk, D) in SHAPES:
             assert D == 32 and H == 8  # DETR head geometry
+
+
+class TestCollapseDiagnosis:
+    """tools/diagnose_detr_collapse.py metric core (round-4 DETR-small
+    blind-anchor failure — docs/training.md "DETR at tiny scale")."""
+
+    @staticmethod
+    def _make(n_images=6, Q=8, person_id=1, C=3, healthy=True, seed=0):
+        rng = np.random.default_rng(seed)
+        gt = [np.asarray([[0.2 + 0.1 * (i % 3), 0.5, 0.1, 0.3]], np.float32)
+              for i in range(n_images)]
+        logits = np.full((n_images, Q, C + 1), -4.0, np.float32)
+        boxes = np.zeros((n_images, Q, 4), np.float32)
+        if healthy:
+            # query 0 tracks the object exactly and fires alone
+            for i in range(n_images):
+                boxes[i, 0] = gt[i][0]
+                boxes[i, 1:] = rng.uniform(0.3, 0.9, (Q - 1, 4))
+            logits[:, :, C] = 4.0          # others: no-object
+            logits[:, 0, C] = -4.0
+            logits[:, 0, person_id] = 4.0  # query 0: person
+        else:
+            # blend: every query person at p~0.6, same frozen anchors
+            logits[:, :, person_id] = 0.5
+            logits[:, :, C] = 0.0
+            anchors = rng.uniform(0.2, 0.8, (Q, 4)).astype(np.float32)
+            boxes[:] = anchors[None]
+        return logits, boxes, gt
+
+    def test_healthy_predictions_raise_no_flags(self):
+        from tools.diagnose_detr_collapse import summarize_predictions
+
+        logits, boxes, gt = self._make(healthy=True)
+        r = summarize_predictions(logits, boxes, gt, person_class_id=1)
+        assert not any(r["flags"].values()), r
+        assert r["blend_gap"] > 0.5 and r["matched_iou_mean"] > 0.99
+        assert r["fire_rate"] == pytest.approx(1 / 8)
+
+    def test_collapsed_predictions_raise_all_flags(self):
+        from tools.diagnose_detr_collapse import summarize_predictions
+
+        logits, boxes, gt = self._make(healthy=False)
+        r = summarize_predictions(logits, boxes, gt, person_class_id=1)
+        assert r["flags"]["symmetric_collapse"], r
+        assert r["flags"]["blind_anchors"], r
+        assert r["frozen_query_frac"] == 1.0
+        assert abs(r["blend_gap"]) < 0.1
