@@ -83,6 +83,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "use_pallas_attention": False,  # XLA attention measures faster at DETR's ~1k-token scale (368 vs 336 f/s on v5e); the Pallas flash kernel is for long-context variants
         # full | tiny (tests / dry runs)
         "model_size": "full",
+        # DETR-DC5: stride-16 dilated last backbone stage (small objects)
+        "dilate_c5": False,
         # bgr | i420 (i420 halves host->device bytes; costs a host cvtColor)
         "transfer_format": "bgr",
         # rematerialize transformer layers under grad (training memory)

@@ -95,6 +95,8 @@ class DETRDetector:
                 num_queries=int(get("detection.num_queries", 100)),
                 dtype=str(get("detection.dtype", "bfloat16")),
                 use_pallas_attention=bool(get("detection.use_pallas_attention", False)),
+                # DETR-DC5 small-object variant (stride-16 C5).
+                dilate_c5=bool(get("detection.dilate_c5", False)),
             )
             # detection.backbone: "resnet50" (default) or "vit" — the
             # spec'd ViT-era backbone, with the spec's patch_size key
@@ -128,7 +130,8 @@ class DETRDetector:
         #: pixels per feature-grid cell (ROI pooling / attention maps)
         self.feature_stride = (
             self.detr_config.vit_patch_size
-            if self.detr_config.backbone == "vit" else 32
+            if self.detr_config.backbone == "vit"
+            else (16 if self.detr_config.dilate_c5 else 32)
         )
         self.model: DETR | None = None
         self.variables = None

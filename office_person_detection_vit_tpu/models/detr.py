@@ -42,6 +42,11 @@ class DETRConfig:
     backbone_depths: tuple[int, ...] = (3, 4, 6, 3)
     backbone_hidden: tuple[int, ...] = (256, 512, 1024, 2048)
     backbone_embedding: int = 64
+    #: DETR-DC5 (dilated C5): last ResNet stage at stride 1 / dilation 2,
+    #: halving the feature stride to 16 — 4x the encoder tokens, the
+    #: paper's small-object variant. The same checkpoints load either way
+    #: (dilation changes no weight shapes).
+    dilate_c5: bool = False
     vit_patch_size: int = 16
     vit_hidden: int = 768
     vit_layers: int = 12
@@ -158,6 +163,7 @@ class DETR(nn.Module):
                 depths=cfg.backbone_depths,
                 hidden_sizes=cfg.backbone_hidden,
                 embedding_size=cfg.backbone_embedding,
+                dilate_last_stage=cfg.dilate_c5,
                 dtype=dtype,
                 name="backbone",
             )(pixel_values.astype(dtype))

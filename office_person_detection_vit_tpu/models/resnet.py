@@ -40,6 +40,10 @@ class Bottleneck(nn.Module):
     mid_features: int
     out_features: int
     stride: int = 1
+    #: kernel dilation on the 3x3 (DETR-DC5: last stage stride->1,
+    #: dilation 2 — torchvision replace_stride_with_dilation semantics).
+    #: Weight shapes are unchanged, so checkpoints load either way.
+    dilation: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,9 +60,11 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.mid_features, (1, 1), use_bias=False, dtype=self.dtype, name="conv0")(x)
         y = FrozenBatchNorm(self.mid_features, self.dtype, name="bn0")(y)
         y = nn.relu(y)
+        d = self.dilation
         y = nn.Conv(
             self.mid_features, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1",
+            padding=[(d, d), (d, d)], kernel_dilation=(d, d),
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(y)
         y = FrozenBatchNorm(self.mid_features, self.dtype, name="bn1")(y)
         y = nn.relu(y)
@@ -81,6 +87,10 @@ class ResNet(nn.Module):
     #: — the FPN input for multi-scale detection heads. Param names/tree are
     #: unchanged, so checkpoints load either way.
     return_pyramid: bool = False
+    #: DETR-DC5: last stage keeps spatial resolution (stride 1) with
+    #: dilation 2 on its 3x3 convs -> C5 at stride 16. Param tree is
+    #: unchanged; any ResNet checkpoint loads in either mode.
+    dilate_last_stage: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -95,15 +105,18 @@ class ResNet(nn.Module):
 
         in_feat = self.embedding_size
         stage_outputs = []
+        n_stages = len(self.depths)
         for s, (depth, hidden) in enumerate(zip(self.depths, self.hidden_sizes)):
             mid = hidden // 4
+            dilate = self.dilate_last_stage and s == n_stages - 1
             for layer in range(depth):
-                stride = 2 if (layer == 0 and s > 0) else 1
+                stride = 2 if (layer == 0 and s > 0 and not dilate) else 1
                 y = Bottleneck(
                     in_features=in_feat,
                     mid_features=mid,
                     out_features=hidden,
                     stride=stride,
+                    dilation=2 if dilate else 1,
                     dtype=self.dtype,
                     name=f"stage{s}_layer{layer}",
                 )(y)

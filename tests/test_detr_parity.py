@@ -253,3 +253,56 @@ def test_parity_with_pallas_interpret():
     np.testing.assert_allclose(
         np.asarray(out["boxes"]), np.asarray(ref["boxes"]), atol=1e-3
     )
+
+
+class TestDC5:
+    """DETR-DC5 (dilate_c5): stride-16 dilated last stage — the paper's
+    small-object variant (round 4: sub-cell persons at stride 32 starve the
+    cross-attention content path; see docs/training.md)."""
+
+    def test_dilated_conv_semantics_match_torch(self):
+        """flax kernel_dilation + explicit padding == torch dilation=2/pad=2
+        (the exact configuration Bottleneck uses in DC5 mode)."""
+        import flax.linen as nn
+        import jax.numpy as jnp
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 9, 11, 5)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 5, 7)).astype(np.float32)  # HWIO
+
+        conv = nn.Conv(7, (3, 3), strides=(1, 1), padding=[(2, 2), (2, 2)],
+                       kernel_dilation=(2, 2), use_bias=False)
+        y = conv.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+        t = F.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                     torch.from_numpy(w).permute(3, 2, 0, 1),
+                     padding=2, dilation=2)
+        np.testing.assert_allclose(
+            np.asarray(y), t.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+    def test_dc5_doubles_grid_and_keeps_param_tree(self):
+        import jax
+        import jax.numpy as jnp
+
+        from office_person_detection_vit_tpu.models.detr import init_detr
+        from office_person_detection_vit_tpu.models.resnet import ResNet
+
+        c32 = DETRConfig.tiny()
+        c16 = DETRConfig.tiny(dilate_c5=True)
+        _, v32 = init_detr(c32, jax.random.PRNGKey(0), input_hw=(64, 96))
+        _, v16 = init_detr(c16, jax.random.PRNGKey(0), input_hw=(64, 96))
+        assert (jax.tree_util.tree_structure(v32)
+                == jax.tree_util.tree_structure(v16))
+        assert ([np.shape(l) for l in jax.tree_util.tree_leaves(v32)]
+                == [np.shape(l) for l in jax.tree_util.tree_leaves(v16)])
+
+        x = jnp.zeros((1, 64, 96, 3))
+        bb = dict(depths=c32.backbone_depths, hidden_sizes=c32.backbone_hidden,
+                  embedding_size=c32.backbone_embedding)
+        f32 = ResNet(**bb).apply({"params": v32["params"]["backbone"]}, x)
+        f16 = ResNet(**bb, dilate_last_stage=True).apply(
+            {"params": v16["params"]["backbone"]}, x)
+        assert f32.shape[1:3] == (2, 3)    # 64/32, 96/32
+        assert f16.shape[1:3] == (4, 6)    # stride 16
+        assert f16.shape[-1] == f32.shape[-1]

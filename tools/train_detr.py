@@ -261,6 +261,13 @@ def main(argv: list[str] | None = None) -> int:
                         help="detector backbone (vit = models/vit.py, the "
                              "spec'd ViT-era path; --patch-size sets stride)")
     parser.add_argument("--patch-size", type=int, default=16)
+    parser.add_argument("--enc-layers", type=int, default=None,
+                        help="override encoder depth (ablations)")
+    parser.add_argument("--dec-layers", type=int, default=None,
+                        help="override decoder depth (ablations)")
+    parser.add_argument("--dilate-c5", action="store_true",
+                        help="DETR-DC5: dilate the last backbone stage to "
+                             "stride 16 (small-object variant)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--dropout", type=float, default=None,
@@ -417,6 +424,12 @@ def main(argv: list[str] | None = None) -> int:
                              vit_pos_grid=t.pos_grid)
         if args.dropout is not None:
             extra["dropout"] = args.dropout
+        if args.dilate_c5:
+            extra["dilate_c5"] = True
+        if args.enc_layers is not None:
+            extra["num_encoder_layers"] = args.enc_layers
+        if args.dec_layers is not None:
+            extra["num_decoder_layers"] = args.dec_layers
         cfg = (
             getattr(DETRConfig, size)(use_pallas_attention=False,
                                       remat=args.remat, **extra)
