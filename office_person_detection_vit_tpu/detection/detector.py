@@ -97,6 +97,9 @@ class DETRDetector:
                 use_pallas_attention=bool(get("detection.use_pallas_attention", False)),
                 # DETR-DC5 small-object variant (stride-16 C5).
                 dilate_c5=bool(get("detection.dilate_c5", False)),
+                # "softmax" (DETR CE head) | "sigmoid" (focal-trained head —
+                # must match the checkpoint's training criterion).
+                score_mode=str(get("detection.score_mode", "softmax")),
             )
             # detection.backbone: "resnet50" (default) or "vit" — the
             # spec'd ViT-era backbone, with the spec's patch_size key
@@ -280,7 +283,8 @@ class DETRDetector:
                     )
                 out = model.apply(variables, pixels, mask, deterministic=True)
                 batch = postprocess_detr(
-                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
+                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person,
+                    score_mode=self.detr_config.score_mode
                 )
                 return batch, out["encoder_output"]
 
@@ -293,7 +297,8 @@ class DETRDetector:
                 )
                 out = model.apply(variables, pixels, mask, deterministic=True)
                 batch = postprocess_detr(
-                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person
+                    out["logits"], out["boxes"], orig_wh, conf, person_class_id=person,
+                    score_mode=self.detr_config.score_mode
                 )
                 # The reconstructed last frame stays DEVICE-resident and
                 # seeds the next chunk's XOR scan — no wire cost.

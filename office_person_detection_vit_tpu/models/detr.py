@@ -13,6 +13,7 @@ tests/test_detr_parity.py via models/weights.py conversion.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import flax.linen as nn
@@ -47,6 +48,16 @@ class DETRConfig:
     #: paper's small-object variant. The same checkpoints load either way
     #: (dilation changes no weight shapes).
     dilate_c5: bool = False
+    #: When set (e.g. 0.01), initialize the class head's real-class bias to
+    #: -log((1-p)/p) — the RetinaNet prior for sigmoid/focal classification
+    #: (use together with CriterionConfig.class_loss="focal" and
+    #: score_mode="sigmoid"). None = zeros (softmax/CE mode).
+    class_prior: float | None = None
+    #: How postprocess turns logits into scores: "softmax" (DETR CE head,
+    #: no-object column competes) | "sigmoid" (Deformable-DETR focal head,
+    #: per-class sigmoid, no-object column ignored). Must match the
+    #: criterion the checkpoint was trained with.
+    score_mode: str = "softmax"
     vit_patch_size: int = 16
     vit_hidden: int = 768
     vit_layers: int = 12
@@ -208,7 +219,24 @@ class DETR(nn.Module):
         )(tgt, query_pos, memory, pos_flat, key_mask, deterministic)
         # hs: (L, B, Q, C)
 
-        class_head = nn.Dense(cfg.num_classes + 1, dtype=dtype, name="class_labels_classifier")
+        if cfg.class_prior is not None:
+            # Focal-mode prior bias (RetinaNet §4.1 / Deformable-DETR):
+            # real-class sigmoids start at class_prior (e.g. 0.01) so the
+            # background loss does not swamp step 0; the no-object slot
+            # (unused under the focal criterion) stays at 0. Same param
+            # tree/shapes — checkpoints load across the modes.
+            b0 = -math.log((1.0 - cfg.class_prior) / cfg.class_prior)
+
+            def _prior_bias(key, shape, dtype=jnp.float32):
+                del key
+                return jnp.full(shape, b0, dtype).at[-1].set(0.0)
+
+            class_head = nn.Dense(
+                cfg.num_classes + 1, dtype=dtype, bias_init=_prior_bias,
+                name="class_labels_classifier",
+            )
+        else:
+            class_head = nn.Dense(cfg.num_classes + 1, dtype=dtype, name="class_labels_classifier")
         bbox_mlp = BBoxMLP(cfg.d_model, dtype=dtype, name="bbox_predictor")
 
         logits_all = class_head(hs)  # (L, B, Q, num_classes+1)

@@ -20,15 +20,22 @@ from ..core.dto import DetectionBatch
 from ..ops import boxes as box_ops
 
 
-@partial(jax.jit, static_argnames=("person_class_id",))
+@partial(jax.jit, static_argnames=("person_class_id", "score_mode"))
 def postprocess_detr(
     logits: Array,  # (F, Q, C+1)
     pred_boxes: Array,  # (F, Q, 4) sigmoid cxcywh normalized
     orig_size: Array,  # (2,) = (width, height) of the original frames
     confidence_threshold: float | Array = 0.5,
     person_class_id: int = 1,
+    score_mode: str = "softmax",
 ) -> DetectionBatch:
-    probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop no-object
+    if score_mode == "sigmoid":
+        # Deformable-DETR focal head (criterion class_loss="focal"):
+        # per-class sigmoid scores; the no-object column is untrained noise
+        # and must be ignored, not competed against.
+        probs = jax.nn.sigmoid(logits[..., :-1])
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop no-object
     scores = jnp.max(probs, axis=-1)
     labels = jnp.argmax(probs, axis=-1)
 
@@ -47,8 +54,12 @@ def postprocess_detr(
     )
 
 
-@partial(jax.jit, static_argnames=("person_class_id",))
-def person_scores(logits: Array, person_class_id: int = 1) -> Array:
-    """(F, Q, C+1) -> (F, Q) softmax probability of the person class."""
+@partial(jax.jit, static_argnames=("person_class_id", "score_mode"))
+def person_scores(logits: Array, person_class_id: int = 1,
+                  score_mode: str = "softmax") -> Array:
+    """(F, Q, C+1) -> (F, Q) probability of the person class (softmax over
+    the CE head, per-class sigmoid for the focal head)."""
+    if score_mode == "sigmoid":
+        return jax.nn.sigmoid(logits[..., person_class_id])
     probs = jax.nn.softmax(logits, axis=-1)
     return probs[..., person_class_id]

@@ -34,6 +34,19 @@ class CriterionConfig:
     w_bbox: float = 5.0
     w_giou: float = 2.0
     matcher_iters: int = 200
+    #: "ce" = DETR softmax cross-entropy with eos down-weighting
+    #: (arXiv:2005.12872 §3.1); "focal" = Deformable-DETR per-class sigmoid
+    #: focal loss (arXiv:2010.04159 §4.1 — their w_class default is 2.0).
+    #: Focal removes the eos blend attractor: the symmetric state where all
+    #: queries predict the same matched/unmatched mixture is a *stationary
+    #: point* of the eos-weighted CE (measured: every DETR-small run pinned
+    #: loss_class at the blend optimum ~ln 2 for hundreds of epochs,
+    #: docs/training.md "DETR beyond tiny"), while under per-class sigmoid
+    #: focal the unmatched queries' gradient pushes monotonically to 0 and
+    #: the (1-p)^gamma factor concentrates learning on the matched ones.
+    class_loss: str = "ce"
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
 
 
 def detr_loss(
@@ -51,7 +64,9 @@ def detr_loss(
     pred_boxes = pred_boxes.astype(jnp.float32)
 
     match = batch_hungarian_match(
-        logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid, config.matcher_iters
+        logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
+        config.matcher_iters, config.class_loss,
+        config.focal_alpha, config.focal_gamma,
     )  # (B, T) query index per target
 
     # ---------------------------------------------------------- class loss
@@ -65,17 +80,35 @@ def detr_loss(
     scatter_q = jnp.where(tgt_valid, match, Q)
     classes = classes.at[b_idx, scatter_q].set(tgt_labels, mode="drop")
     safe_q = jnp.where(tgt_valid, match, 0)  # for box gathers only
-    log_probs = jax.nn.log_softmax(logits, axis=-1)  # (B, Q, C+1)
-    nll = -jnp.take_along_axis(log_probs, classes[..., None], axis=-1)[..., 0]
-    weights = jnp.where(classes == no_object, config.eos_coef, 1.0)
-    loss_class = jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+    validf = tgt_valid.astype(jnp.float32)
+    num_boxes = jnp.maximum(jnp.sum(validf), 1.0)  # global (psum under pjit)
+
+    if config.class_loss == "focal":
+        # Deformable-DETR sigmoid focal (arXiv:2010.04159 §4.1): per-class
+        # binary targets over the REAL classes only; the no-object logit is
+        # unused (background = every sigmoid low). Normalization follows
+        # their reference code: mean over classes, sum over queries,
+        # / num_boxes, x Q.
+        cls_logits = logits[..., :no_object]  # (B, Q, C)
+        onehot = jax.nn.one_hot(classes, no_object, dtype=jnp.float32)
+        bce = -(onehot * jax.nn.log_sigmoid(cls_logits)
+                + (1.0 - onehot) * jax.nn.log_sigmoid(-cls_logits))
+        p = jax.nn.sigmoid(cls_logits)
+        p_t = p * onehot + (1.0 - p) * (1.0 - onehot)
+        a_t = (config.focal_alpha * onehot
+               + (1.0 - config.focal_alpha) * (1.0 - onehot))
+        focal = a_t * (1.0 - p_t) ** config.focal_gamma * bce
+        loss_class = jnp.sum(jnp.mean(focal, axis=-1)) / num_boxes * Q
+    else:
+        log_probs = jax.nn.log_softmax(logits, axis=-1)  # (B, Q, C+1)
+        nll = -jnp.take_along_axis(log_probs, classes[..., None], axis=-1)[..., 0]
+        weights = jnp.where(classes == no_object, config.eos_coef, 1.0)
+        loss_class = jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
     # ------------------------------------------------------------ box loss
     matched_boxes = jnp.take_along_axis(
         pred_boxes, safe_q[..., None], axis=1
     )  # (B, T, 4)
-    validf = tgt_valid.astype(jnp.float32)
-    num_boxes = jnp.maximum(jnp.sum(validf), 1.0)  # global (psum under pjit)
     l1 = jnp.sum(jnp.abs(matched_boxes - tgt_boxes), axis=-1)  # (B, T)
     loss_bbox = jnp.sum(l1 * validf) / num_boxes
     giou = jax.vmap(
@@ -91,9 +124,15 @@ def detr_loss(
         + config.w_giou * loss_giou
     )
     # Cardinality error (diagnostic, not a gradient path).
-    pred_count = jnp.sum(
-        (jnp.argmax(logits, axis=-1) != no_object).astype(jnp.float32), axis=1
-    )
+    if config.class_loss == "focal":
+        # No no-object logit in the focal head semantics: a query "fires"
+        # when its best real-class sigmoid clears 0.5.
+        fired = jnp.max(jax.nn.sigmoid(logits[..., :no_object]), axis=-1) > 0.5
+        pred_count = jnp.sum(fired.astype(jnp.float32), axis=1)
+    else:
+        pred_count = jnp.sum(
+            (jnp.argmax(logits, axis=-1) != no_object).astype(jnp.float32), axis=1
+        )
     card_err = jnp.mean(jnp.abs(pred_count - jnp.sum(validf, axis=1)))
     return total, {
         "loss": total,

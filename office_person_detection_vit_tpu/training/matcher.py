@@ -96,11 +96,25 @@ def matching_cost(
     w_class: float = 1.0,
     w_bbox: float = 5.0,
     w_giou: float = 2.0,
+    class_cost: str = "ce",
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
 ) -> Array:
     """(Q, C+1) logits, (Q, 4) cxcywh preds, (T,) labels, (T, 4) cxcywh GT
     -> (T, Q) cost."""
-    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (Q, C+1)
-    cost_class = -prob[:, tgt_labels].T  # (T, Q)
+    if class_cost == "focal":
+        # Deformable-DETR matcher cost (arXiv:2010.04159, reference code
+        # HungarianMatcher): positive-minus-negative focal terms at the
+        # target class, over per-class sigmoids of the REAL classes.
+        prob = jax.nn.sigmoid(logits[..., :-1].astype(jnp.float32))  # (Q, C)
+        neg = ((1.0 - focal_alpha) * prob ** focal_gamma
+               * (-jnp.log1p(-jnp.clip(prob, None, 1.0 - 1e-8))))
+        pos = (focal_alpha * (1.0 - prob) ** focal_gamma
+               * (-jnp.log(jnp.clip(prob, 1e-8, None))))
+        cost_class = (pos - neg)[:, tgt_labels].T  # (T, Q)
+    else:
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # (Q, C+1)
+        cost_class = -prob[:, tgt_labels].T  # (T, Q)
     cost_bbox = jnp.sum(
         jnp.abs(tgt_boxes[:, None, :] - pred_boxes[None, :, :]), axis=-1
     )  # (T, Q)
@@ -117,16 +131,21 @@ def hungarian_match(
     tgt_boxes: Array,
     tgt_valid: Array,
     num_iters: int = 200,
+    class_cost: str = "ce",
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
 ) -> Array:
     """Per-sample matching. Padded target slots (tgt_valid False) get a flat
     zero cost row so they absorb leftover queries without influencing real
     matches. Returns (T,) int32 query index per target slot."""
-    cost = matching_cost(logits, pred_boxes, tgt_labels, tgt_boxes)
+    cost = matching_cost(logits, pred_boxes, tgt_labels, tgt_boxes,
+                         class_cost=class_cost, focal_alpha=focal_alpha,
+                         focal_gamma=focal_gamma)
     cost = jnp.where(tgt_valid[:, None], cost, 0.0)
     return auction_assignment(-cost, num_iters=num_iters)
 
 
 #: vmapped over the batch: (B,Q,C+1),(B,Q,4),(B,T),(B,T,4),(B,T) -> (B,T)
 batch_hungarian_match = jax.vmap(
-    hungarian_match, in_axes=(0, 0, 0, 0, 0, None)
+    hungarian_match, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
 )

@@ -1421,3 +1421,163 @@ class TestPriorBiasInit:
         prior_dense = float(m_prior["loss_obj"] + m_prior["loss_cls"])
         zero_dense = float(m_zero["loss_obj"] + m_zero["loss_cls"])
         assert prior_dense < 0.25 * zero_dense, (prior_dense, zero_dense)
+
+
+class TestFocalClassLoss:
+    """Deformable-DETR sigmoid focal classification
+    (CriterionConfig.class_loss="focal", arXiv:2010.04159 §4.1) — the
+    measured cure for the small-tier symmetric-blend attractor: every
+    DETR-small CE run pinned loss_class at the eos-blend optimum ~ln 2
+    with 100% fire rate (docs/training.md "DETR beyond tiny"); under
+    per-class sigmoid focal that state is not stationary."""
+
+    def _inputs(self, B=2, Q=8, T=3, C=4, seed=0):
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.normal(size=(B, Q, C + 1)), jnp.float32)
+        boxes = jax.nn.sigmoid(jnp.asarray(rng.normal(size=(B, Q, 4)), jnp.float32))
+        labels, tboxes, valid = pack_targets(
+            [rng.uniform(0.2, 0.6, (2, 4)), rng.uniform(0.2, 0.6, (1, 4))],
+            [[1, 2], [3]],
+            capacity=T,
+        )
+        return logits, boxes, labels, tboxes, valid, C
+
+    def test_matches_hand_computed_focal(self):
+        """Value parity with an independent numpy implementation of the
+        Deformable normalization (mean over classes, sum over queries,
+        / num_boxes, x Q) on a fixed matching."""
+        from office_person_detection_vit_tpu.training.matcher import (
+            batch_hungarian_match,
+        )
+
+        logits, boxes, labels, tboxes, valid, C = self._inputs()
+        cfg = CriterionConfig(num_classes=C, class_loss="focal")
+        total, metrics = detr_loss(logits, boxes, labels, tboxes, valid, cfg)
+
+        match = np.asarray(batch_hungarian_match(
+            logits, boxes, labels, tboxes, valid, 200, "focal", 0.25, 2.0))
+        B, Q, _ = logits.shape
+        lg = np.asarray(logits)[..., :C]
+        onehot = np.zeros((B, Q, C), np.float64)
+        for b in range(B):
+            for t in range(labels.shape[1]):
+                if bool(valid[b, t]):
+                    onehot[b, match[b, t], int(labels[b, t])] = 1.0
+        p = 1 / (1 + np.exp(-lg.astype(np.float64)))
+        bce = -(onehot * np.log(p) + (1 - onehot) * np.log1p(-p))
+        p_t = p * onehot + (1 - p) * (1 - onehot)
+        a_t = 0.25 * onehot + 0.75 * (1 - onehot)
+        focal = a_t * (1 - p_t) ** 2.0 * bce
+        num_boxes = float(np.asarray(valid).sum())
+        expected = focal.mean(-1).sum() / num_boxes * Q
+        assert float(metrics["loss_class"]) == pytest.approx(expected, rel=1e-5)
+
+    def test_no_object_column_gets_zero_gradient(self):
+        """The (C+1)-th logit is dead weight under focal — background is
+        'every sigmoid low', not a competing class."""
+        logits, boxes, labels, tboxes, valid, C = self._inputs()
+        cfg = CriterionConfig(num_classes=C, class_loss="focal")
+        g = jax.grad(
+            lambda lg: detr_loss(lg, boxes, labels, tboxes, valid, cfg)[0]
+        )(logits)
+        assert float(jnp.abs(g[..., -1]).max()) == 0.0
+        assert float(jnp.abs(g[..., :-1]).max()) > 0.0
+
+    def test_perfect_prediction_low_loss(self):
+        C, Q = 4, 6
+        tboxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2]]], jnp.float32)
+        labels = jnp.asarray([[2]])
+        valid = jnp.asarray([[True]])
+        # Matched query: class-2 logit high; everyone else: all logits low.
+        logits = jnp.full((1, Q, C + 1), -10.0).at[0, 0, 2].set(10.0)
+        boxes = jnp.tile(jnp.asarray([[[0.3, 0.3, 0.2, 0.2]]]), (1, Q, 1))
+        total, metrics = detr_loss(
+            logits, boxes, labels, tboxes, valid,
+            CriterionConfig(num_classes=C, class_loss="focal"),
+        )
+        assert float(metrics["loss_class"]) < 1e-3
+        assert float(metrics["loss_bbox"]) < 1e-5
+        assert float(metrics["cardinality_error"]) == 0.0
+
+    def test_blend_state_not_stationary_under_focal(self):
+        """At the measured collapse state — every query predicting the same
+        blend probability — the eos-weighted CE per-step expected gradient
+        cancels under match churn (the attractor), while focal's unmatched
+        pull to zero dominates: the summed class gradient over tied queries
+        must be nonzero and point DOWN (positive d loss/d logit means the
+        optimizer lowers the person logit)."""
+        C, Q, T = 1, 25, 3
+        # e2e4p geometry: ~2.6 persons per image, Q=25, eos 0.1 ->
+        # blend optimum p* = n_pos / (n_pos + eos*(Q-n_pos)) ~ 0.54.
+        n_pos = T
+        p_star = n_pos / (n_pos + 0.1 * (Q - n_pos))
+        blend_logit = float(np.log(p_star / (1 - p_star)))
+        logits = jnp.full((1, Q, C + 1), 0.0).at[..., 0].set(blend_logit)
+        rng = np.random.default_rng(1)
+        boxes = jnp.asarray(
+            rng.uniform(0.2, 0.8, (1, Q, 4)).astype(np.float32))
+        labels = jnp.zeros((1, T), jnp.int32)
+        tboxes = jnp.asarray(rng.uniform(0.3, 0.6, (1, T, 4)).astype(np.float32))
+        valid = jnp.ones((1, T), bool)
+
+        def class_grad(mode):
+            cfg = CriterionConfig(num_classes=C, class_loss=mode)
+            g = jax.grad(lambda lg: detr_loss(
+                lg, boxes, labels, tboxes, valid, cfg)[1]["loss_class"])(logits)
+            return np.asarray(g)[0, :, 0]  # (Q,) person-logit grads
+
+        g_ce = class_grad("ce")
+        g_focal = class_grad("focal")
+        # CE at the blend: matched ups and eos-weighted unmatched downs
+        # cancel in aggregate (the stationary attractor).
+        assert abs(g_ce.sum()) < 2e-3, g_ce.sum()
+        # Focal at the same state: strictly net-positive gradient (pushes
+        # the shared logit down and out of the blend).
+        assert g_focal.sum() > 20 * abs(g_ce.sum()), (
+            g_focal.sum(), g_ce.sum())
+
+    def test_focal_matcher_prefers_confident_correct_query(self):
+        from office_person_detection_vit_tpu.training.matcher import (
+            matching_cost,
+        )
+
+        Q, C = 4, 3
+        logits = np.full((Q, C + 1), -5.0, np.float32)
+        logits[1, 2] = 8.0
+        boxes = np.full((Q, 4), 0.5, np.float32)
+        boxes[1] = [0.3, 0.3, 0.1, 0.1]
+        cost = np.asarray(matching_cost(
+            jnp.asarray(logits), jnp.asarray(boxes),
+            jnp.asarray([2]), jnp.asarray([[0.3, 0.3, 0.1, 0.1]], np.float32),
+            class_cost="focal",
+        ))
+        assert cost.shape == (1, Q)
+        assert cost.argmin() == 1
+
+    def test_sigmoid_postprocess_and_prior_init(self):
+        """score_mode='sigmoid' thresholds per-class sigmoids (the
+        no-object column must NOT compete), and class_prior biases a fresh
+        head to ~p everywhere, tree/shape-identical to the default init."""
+        from office_person_detection_vit_tpu.models.postprocess import (
+            person_scores, postprocess_detr,
+        )
+
+        logits = jnp.asarray([[[2.0, 0.0, 5.0]]])  # person logit 2.0, noobj 5
+        boxes = jnp.asarray([[[0.5, 0.5, 0.2, 0.4]]])
+        out = postprocess_detr(logits, boxes, jnp.asarray([100.0, 100.0]),
+                               0.5, person_class_id=0, score_mode="sigmoid")
+        # sigmoid(2.0)=0.88 >= 0.5 -> fires even though softmax w/ noobj
+        # would kill it.
+        assert bool(np.asarray(out.valid)[0, 0])
+        s = float(np.asarray(person_scores(logits, 0, "sigmoid"))[0, 0])
+        assert s == pytest.approx(1 / (1 + np.exp(-2.0)), rel=1e-5)
+
+        cfg = DETRConfig.tiny(class_prior=0.01, score_mode="sigmoid")
+        _, v = init_detr(cfg, jax.random.PRNGKey(0), input_hw=(64, 96))
+        b = np.asarray(v["params"]["class_labels_classifier"]["bias"])
+        assert b[:-1] == pytest.approx(-np.log(0.99 / 0.01), rel=1e-5)
+        assert b[-1] == 0.0
+        _, v0 = init_detr(DETRConfig.tiny(), jax.random.PRNGKey(0),
+                          input_hw=(64, 96))
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v0))

@@ -153,7 +153,10 @@ def evaluate_detector(model, params, samples, *, target_hw, cfg,
                 frames_u8, target_hw=target_hw, out_dtype=cfg.jnp_dtype
             )
             out = model.apply({"params": params}, pixels, mask)
-            return postprocess_detr(out["logits"], out["boxes"], orig_wh, conf)
+            return postprocess_detr(
+                out["logits"], out["boxes"], orig_wh, conf,
+                score_mode=getattr(cfg, "score_mode", "softmax"),
+            )
 
     fwd = jax.jit(_fwd)
     orig_wh = jnp.asarray(EVAL_WH, jnp.float32)
@@ -268,6 +271,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--dilate-c5", action="store_true",
                         help="DETR-DC5: dilate the last backbone stage to "
                              "stride 16 (small-object variant)")
+    parser.add_argument("--class-loss", choices=("ce", "focal"), default="ce",
+                        help="DETR classification: 'ce' = softmax CE with "
+                             "eos down-weighting (the paper); 'focal' = "
+                             "Deformable-DETR per-class sigmoid focal "
+                             "(+ prior-bias head init, sigmoid eval scores) "
+                             "— removes the symmetric-blend attractor "
+                             "measured at reduced scale (docs/training.md)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--dropout", type=float, default=None,
@@ -426,6 +436,11 @@ def main(argv: list[str] | None = None) -> int:
             extra["dropout"] = args.dropout
         if args.dilate_c5:
             extra["dilate_c5"] = True
+        if args.class_loss == "focal":
+            # Focal head: prior-biased init + sigmoid score semantics
+            # (postprocess/eval/export all read cfg.score_mode).
+            extra["class_prior"] = 0.01
+            extra["score_mode"] = "sigmoid"
         if args.enc_layers is not None:
             extra["num_encoder_layers"] = args.enc_layers
         if args.dec_layers is not None:
@@ -481,6 +496,14 @@ def main(argv: list[str] | None = None) -> int:
     step_kwargs = dict(
         ema_decay=args.ema if use_ema else None, augment=aug_cfg,
     )
+    if args.model != "yolo" and args.class_loss == "focal":
+        from office_person_detection_vit_tpu.training import CriterionConfig
+
+        # Deformable-DETR loss weights: w_class 2.0 under focal (their
+        # reference config); box weights unchanged.
+        step_kwargs["criterion"] = CriterionConfig(
+            num_classes=cfg.num_classes, class_loss="focal", w_class=2.0,
+        )
     start_epoch = 0
     if args.resume_from and args.resume_from.exists():
         state0 = _load_train_state(args.resume_from, state0)
@@ -577,6 +600,7 @@ def main(argv: list[str] | None = None) -> int:
         "schedule": args.schedule, "warmup_steps": args.warmup_steps,
         "accum_steps": args.accum_steps, "ema": args.ema,
         "augment": bool(args.augment),
+        "class_loss": args.class_loss,
     }}
     if args.resume_from and history_path.exists():
         prev = json.loads(history_path.read_text())
