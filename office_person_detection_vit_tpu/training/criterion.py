@@ -87,8 +87,11 @@ def detr_loss(
         # Deformable-DETR sigmoid focal (arXiv:2010.04159 §4.1): per-class
         # binary targets over the REAL classes only; the no-object logit is
         # unused (background = every sigmoid low). Normalization follows
-        # their reference code: mean over classes, sum over queries,
-        # / num_boxes, x Q.
+        # their reference code — loss.mean(1).sum()/num_boxes * Q, where the
+        # mean is over QUERIES, which cancels the *Q and reduces to the plain
+        # total sum / num_boxes. (A mean over classes here would scale the
+        # effective class weight by Q/C and invalidate the imported
+        # w_class=2.0 default.)
         cls_logits = logits[..., :no_object]  # (B, Q, C)
         onehot = jax.nn.one_hot(classes, no_object, dtype=jnp.float32)
         bce = -(onehot * jax.nn.log_sigmoid(cls_logits)
@@ -98,7 +101,7 @@ def detr_loss(
         a_t = (config.focal_alpha * onehot
                + (1.0 - config.focal_alpha) * (1.0 - onehot))
         focal = a_t * (1.0 - p_t) ** config.focal_gamma * bce
-        loss_class = jnp.sum(jnp.mean(focal, axis=-1)) / num_boxes * Q
+        loss_class = jnp.sum(focal) / num_boxes
     else:
         log_probs = jax.nn.log_softmax(logits, axis=-1)  # (B, Q, C+1)
         nll = -jnp.take_along_axis(log_probs, classes[..., None], axis=-1)[..., 0]

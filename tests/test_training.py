@@ -1073,6 +1073,39 @@ class TestTrainEval:
                 # The degenerate guard must agree with the eval outcome.
                 assert r["degenerate_final_state"] == (r["f1"] < 0.1), (arm, seed)
 
+    def test_replicate_summarize_epoch_alignment_with_nones(self):
+        """ADVICE r3 items 4-5, verifiably fixed: the None filter must keep
+        ORIGINAL epoch indices, so the reported worst epoch number and the
+        epoch_metrics component lookup stay aligned, and the post-onset
+        spike accounting must measure from convergence onset."""
+        from tools.run_recipe_replicates import _summarize
+
+        # 8 epochs; epoch 2 (index 1) recorded None (empty-epoch guard in
+        # tools/train_detr.py); the worst REAL loss is at original index 4;
+        # steady state settles ~1.0, onset at index 2 (first < 2x steady).
+        hist = {
+            "epoch_losses": [50.0, None, 1.8, 1.2, 60.0, 1.1, 1.0, 0.9],
+            "epoch_metrics": [
+                {"loss": 50.0}, {"loss": -1.0}, {"loss": 1.8}, {"loss": 1.2},
+                {"loss": 60.0}, {"loss": 1.1}, {"loss": 1.0}, {"loss": 0.9},
+            ],
+            "evals": [{"f1_score": 0.95, "ap_50": 0.97, "map_50_95": 0.6}],
+        }
+        r = _summarize(hist)
+        # worst epoch is reported 1-based at its ORIGINAL position (5th
+        # epoch), not the None-filtered position (which would be 4).
+        assert r["worst_epoch_index"] == 5
+        # ... and the component lookup hits the matching epoch_metrics row.
+        assert r["worst_epoch_components"] == {"loss": 60.0}
+        assert r["worst_epoch_loss"] == 60.0
+        # onset = first epoch < 2x steady state (original index 2 -> 3).
+        assert r["convergence_onset_epoch"] == 3
+        # post-onset worst excludes the descent-from-init 50.0 but catches
+        # the mid-run 60.0 basin exit.
+        assert r["worst_post_onset_loss"] == 60.0
+        assert r["post_onset_spike_ratio"] > 10.0
+        assert not r["degenerate_final_state"]
+
 
 class TestViTBackboneTraining:
     def test_vit_sharded_step_with_backbone_tp(self):
@@ -1444,8 +1477,8 @@ class TestFocalClassLoss:
 
     def test_matches_hand_computed_focal(self):
         """Value parity with an independent numpy implementation of the
-        Deformable normalization (mean over classes, sum over queries,
-        / num_boxes, x Q) on a fixed matching."""
+        Deformable normalization (loss.mean(1).sum()/num_boxes * Q, mean
+        over QUERIES == plain total sum / num_boxes) on a fixed matching."""
         from office_person_detection_vit_tpu.training.matcher import (
             batch_hungarian_match,
         )
@@ -1469,7 +1502,10 @@ class TestFocalClassLoss:
         a_t = 0.25 * onehot + 0.75 * (1 - onehot)
         focal = a_t * (1 - p_t) ** 2.0 * bce
         num_boxes = float(np.asarray(valid).sum())
-        expected = focal.mean(-1).sum() / num_boxes * Q
+        # Deformable-DETR reference: loss.mean(1).sum()/num_boxes * Q — the
+        # mean over queries cancels the *Q, leaving the plain total sum.
+        expected = focal.mean(1).sum() / num_boxes * Q
+        assert expected == pytest.approx(focal.sum() / num_boxes, rel=1e-9)
         assert float(metrics["loss_class"]) == pytest.approx(expected, rel=1e-5)
 
     def test_no_object_column_gets_zero_gradient(self):
