@@ -115,7 +115,19 @@ class DETRDetector:
             # tiny only memorizes); "full" is the DETR-ResNet50 architecture.
             model_size = str(get("detection.model_size", "full"))
             if model_size in ("tiny", "small"):
-                common.pop("num_queries")
+                # The tier fixes its own query count, but an explicitly
+                # configured detection.num_queries must not be silently
+                # discarded — downstream postprocess/tracking shapes depend
+                # on it (ADVICE r4). ConfigManager deep-merges the schema
+                # default (100) into every config, so "differs from 100" is
+                # the explicitness signal available here.
+                requested_q = common.pop("num_queries")
+                if requested_q != 100:
+                    common["num_queries"] = requested_q
+                    logging.getLogger(__name__).warning(
+                        "detection.num_queries=%d overrides the %s tier's "
+                        "default query count", requested_q, model_size,
+                    )
                 if common.get("backbone") == "vit":
                     from ..models.vit import ViTConfig
 
@@ -405,6 +417,22 @@ class DETRDetector:
                 return b
         return self.batch_size
 
+    def _empty_chunk(self, n: int) -> tuple[DetectionBatch, np.ndarray]:
+        """All-invalid results for a failed chunk of n frames: every query
+        masked out, zero encoder features (feature pooling then returns
+        zeros for those frames instead of crashing)."""
+        q = self.detr_config.num_queries
+        tokens = (self.input_hw[0] // self.feature_stride) * (
+            self.input_hw[1] // self.feature_stride
+        )
+        batch = DetectionBatch(
+            boxes_xywh=np.zeros((n, q, 4), np.float32),
+            scores=np.zeros((n, q), np.float32),
+            valid=np.zeros((n, q), bool),
+            foot=np.zeros((n, q, 2), np.float32),
+        )
+        return batch, np.zeros((n, tokens, self.detr_config.d_model), np.float32)
+
     # ---------------------------------------------------------------- detect
     def detect_batch(self, frames: np.ndarray) -> DetectionBatch:
         """(F, H, W, 3) uint8 BGR -> DetectionBatch (F, Q). F is padded up to
@@ -439,16 +467,31 @@ class DETRDetector:
         t0 = time.perf_counter()
         chunks = []
         encs = []
+        failed_chunks = 0
         for i in range(0, len(frames), self.batch_size):
-            batch, enc = self._jit_detect(
-                self.variables, frames[i : i + self.batch_size], orig_wh
-            )
+            chunk_frames = frames[i : i + self.batch_size]
+            try:
+                batch, enc = self._jit_detect(
+                    self.variables, chunk_frames, orig_wh
+                )
+            except Exception:
+                # Per-chunk failure isolation (reference per-frame analog,
+                # src/pipeline/phases/detection.py:124-127): a poisoned
+                # chunk logs and yields all-invalid results for its frames
+                # instead of aborting the whole phase.
+                failed_chunks += 1
+                logger.exception(
+                    "detect chunk failed for frames [%d, %d); continuing "
+                    "with empty results for those frames",
+                    i, i + len(chunk_frames),
+                )
+                batch, enc = self._empty_chunk(len(chunk_frames))
             chunks.append(batch)
             encs.append(enc)
         self.last_inference_time = time.perf_counter() - t0  # dispatch time
         # Fast path: one full batch -> device arrays untouched (lets
         # callers pipeline dispatch/fetch). Otherwise merge/strip on host.
-        if len(chunks) == 1 and pad == 0:
+        if len(chunks) == 1 and pad == 0 and not failed_chunks:
             merged = chunks[0]
         else:
             merged = _host_merge(chunks, F)

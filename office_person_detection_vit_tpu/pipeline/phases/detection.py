@@ -87,6 +87,12 @@ class DetectionPhase(BasePhase):
             fr.detections = det_fr.detections
 
         self.statistics = calculate_detection_statistics(batch)
+        # Operators see the raced transfer-format choice ("auto" locks in a
+        # measured winner on the first batch) in the exported statistics and
+        # the phase checkpoint.
+        fmt = getattr(self.detector, "transfer_format", None)
+        if fmt is not None:
+            self.statistics["transfer_format"] = str(fmt)
         if output_dir is not None:
             out = Path(output_dir)
             self._export_statistics(out)

@@ -100,8 +100,9 @@ class TrackingPhase(BasePhase):
                         )
                     except Exception as e:  # enhancement, not a requirement
                         self.logger.warning(
-                            "could not extract crop features: %s", e)
-                        return
+                            "could not extract crop features for frame %s: %s",
+                            fr.frame_number, e)
+                        continue  # skip just this frame, not the whole tail
                     for det, f in zip(dets, feats):
                         det.feature = np.asarray(f, np.float32)
             return

@@ -100,6 +100,17 @@ class TestDetectionPhase:
         assert doc["frames"][0]["detections"][0]["confidence"] == pytest.approx(0.9)
         assert doc["frames"][1]["timestamp"] == "2025-01-20 09:05:00"
 
+    def test_transfer_format_persisted_in_statistics(self, tmp_path):
+        """The (possibly raced) transfer format lands in the exported
+        statistics so operators see the locked-in choice (VERDICT r4 #7)."""
+        det = StubDetector()
+        det.transfer_format = "i420"  # as locked in by the auto race
+        phase = DetectionPhase(_cfg(tmp_path), detector=det)
+        frames, frs = _inputs()
+        phase.execute(frames, frs, output_dir=tmp_path / "02")
+        s = json.loads((tmp_path / "02" / "detection_statistics.json").read_text())
+        assert s["transfer_format"] == "i420"
+
     def test_empty_frames_yields_zero_stats(self, tmp_path):
         phase = DetectionPhase(_cfg(tmp_path), detector=StubDetector())
         out = phase.execute([], [])

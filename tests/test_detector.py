@@ -252,6 +252,106 @@ class TestBucketedChunking:
         )
 
 
+class TestChunkFailureIsolation:
+    """A poisoned chunk must not abort Phase 2: the failing chunk logs,
+    yields all-invalid results for its frames, and the run continues
+    (reference per-frame error isolation,
+    reference src/pipeline/phases/detection.py:124-127)."""
+
+    def _detector(self, batch_size=4):
+        from office_person_detection_vit_tpu.config.config_manager import ConfigManager
+        from office_person_detection_vit_tpu.detection.detector import DETRDetector
+        from office_person_detection_vit_tpu.models.detr import DETRConfig
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"confidence_threshold": 0.0, "batch_size": batch_size,
+                           "input_height": 96, "input_width": 128,
+                           "dtype": "float32", "use_pallas_attention": False},
+             "parallel": {"mesh": {"data": 1}}}
+        )
+        det = DETRDetector(cfg, detr_config=DETRConfig.tiny(num_classes=5))
+        det.load_model()
+        return det
+
+    def test_middle_chunk_failure_yields_empty_frames(self, caplog):
+        import logging
+
+        import numpy as np
+
+        det = self._detector(4)
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (12, 72, 96, 3), np.uint8)
+        clean = det.detect_batch(frames)
+
+        real = det._jit_detect
+        calls = {"n": 0}
+
+        def poisoned(variables, chunk, orig_wh, conf=None):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second of three chunks
+                raise RuntimeError("injected preprocess fault")
+            return real(variables, chunk, orig_wh, conf)
+
+        det._jit_detect = poisoned
+        with caplog.at_level(logging.ERROR):
+            out = det.detect_batch(frames)
+        det._jit_detect = real
+
+        assert calls["n"] == 3  # all three chunks were attempted
+        assert out.scores.shape[0] == 12
+        valid = np.asarray(out.valid)
+        assert not valid[4:8].any()  # poisoned chunk: all-invalid masks
+        # surviving chunks match the clean run
+        np.testing.assert_allclose(
+            np.asarray(out.scores[:4]), np.asarray(clean.scores[:4]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.scores[8:]), np.asarray(clean.scores[8:]), atol=1e-5)
+        assert any("injected preprocess fault" in r.getMessage()
+                   or "detect chunk failed" in r.getMessage()
+                   for r in caplog.records)
+        # feature pooling over the merged batch still works (zero features
+        # for the failed frames, finite everywhere)
+        feats = np.asarray(det._pool_features(out))
+        assert feats.shape[0] == 12 and np.isfinite(feats).all()
+
+    def test_phase_completes_with_poisoned_chunk(self, tmp_path):
+        """DetectionPhase.execute finishes and exports artifacts even when a
+        chunk dies: failed frames simply carry zero detections."""
+        import numpy as np
+
+        from office_person_detection_vit_tpu.core.dto import FrameResult
+        from office_person_detection_vit_tpu.pipeline.phases.detection import (
+            DetectionPhase,
+        )
+
+        det = self._detector(4)
+        real = det._jit_detect
+        calls = {"n": 0}
+
+        def poisoned(variables, chunk, orig_wh, conf=None):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected fault")
+            return real(variables, chunk, orig_wh, conf)
+
+        det._jit_detect = poisoned
+        from office_person_detection_vit_tpu.config.config_manager import (
+            ConfigManager,
+        )
+
+        cfg = ConfigManager.from_dict(
+            {"detection": {"batch_size": 4}, "output": {}})
+        phase = DetectionPhase(cfg, detector=det)
+        rng = np.random.default_rng(2)
+        frames = list(rng.integers(0, 255, (12, 72, 96, 3), np.uint8))
+        frs = [FrameResult(frame_number=i, timestamp=None) for i in range(12)]
+        out = phase.execute(frames, frs, output_dir=tmp_path)
+        assert len(out) == 12
+        assert all(len(fr.detections) == 0 for fr in out[4:8])
+        assert (tmp_path / "detections.json").exists()
+        assert (tmp_path / "detection_statistics.json").exists()
+
+
 class TestStableHLOExport:
     """detection/export.py: jax.export round-trip of the fused detect
     program — the artifact reloads and executes without model code and

@@ -549,3 +549,20 @@ def test_detector_small_model_size(tmp_path):
     assert det.detr_config.d_model == 128
     assert det.detr_config.num_queries == 25
     assert det.detr_config.num_encoder_layers == 3
+
+
+def test_detector_tier_honors_explicit_num_queries(tmp_path, caplog):
+    """An explicitly configured detection.num_queries (!= the schema default
+    100) must survive a tiny/small tier selection with a warning, not be
+    silently replaced by the tier's query count (ADVICE r4)."""
+    import logging
+
+    from office_person_detection_vit_tpu.detection.detector import DETRDetector
+
+    cfg = _config(tmp_path, "unused.mp4",
+                  **{"detection.model_size": "small",
+                     "detection.num_queries": 40})
+    with caplog.at_level(logging.WARNING):
+        det = DETRDetector(cfg)
+    assert det.detr_config.num_queries == 40
+    assert any("num_queries=40 overrides" in r.message for r in caplog.records)

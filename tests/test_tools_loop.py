@@ -383,3 +383,26 @@ class TestCollapseDiagnosis:
         assert r["flags"]["blind_anchors"], r
         assert r["frozen_query_frac"] == 1.0
         assert abs(r["blend_gap"]) < 0.1
+
+    def test_focal_mode_scores_sigmoid_and_respects_person_id(self):
+        """A focal-trained checkpoint's no-object column is untrained
+        garbage: softmax scoring sees a blend, sigmoid scoring sees health
+        (ADVICE r4). person_class_id=2 must be honored, not hardcoded to 1."""
+        from tools.diagnose_detr_collapse import summarize_predictions
+
+        person_id = 2
+        logits, boxes, gt = self._make(healthy=True, person_id=person_id)
+        # Focal head semantics: no-object logit is dead weight — fill it
+        # with large garbage that would dominate a softmax.
+        logits[:, :, -1] = 9.0
+        r = summarize_predictions(logits, boxes, gt,
+                                  person_class_id=person_id,
+                                  class_loss="focal")
+        assert r["class_loss"] == "focal"
+        assert not any(r["flags"].values()), r
+        assert r["blend_gap"] > 0.5 and r["matched_iou_mean"] > 0.99
+        # Softmax scoring of the same checkpoint misreads it (all person
+        # probabilities crushed by the garbage no-object column).
+        r_ce = summarize_predictions(logits, boxes, gt,
+                                     person_class_id=person_id)
+        assert r_ce["matched_p"] < 0.1

@@ -62,25 +62,35 @@ def _iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def summarize_predictions(logits: np.ndarray, boxes: np.ndarray,
                           gt_boxes_list: list[np.ndarray], *,
-                          person_class_id: int, conf: float = 0.25) -> dict:
+                          person_class_id: int, conf: float = 0.25,
+                          class_loss: str = "ce") -> dict:
     """Pure metric core: (N,Q,C+1) logits + (N,Q,4) cxcywh preds + per-image
-    GT -> collapse signature report (unit-testable without a model)."""
+    GT -> collapse signature report (unit-testable without a model).
+
+    ``class_loss`` mirrors ``CriterionConfig.class_loss``: a checkpoint
+    trained with the focal/sigmoid head has an untrained no-object column,
+    so its scores must be per-class sigmoids (and the match cost focal),
+    not softmax over C+1.
+    """
     import jax.numpy as jnp
 
     from office_person_detection_vit_tpu.training.matcher import hungarian_match
 
     N, Q = logits.shape[:2]
-    e = np.exp(logits - logits.max(-1, keepdims=True))
-    probs = e / e.sum(-1, keepdims=True)
-    person = probs[..., person_class_id]
+    if class_loss == "focal":
+        person = 1.0 / (1.0 + np.exp(-logits[..., person_class_id]))
+    else:
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+        person = probs[..., person_class_id]
 
     per_image = []
     for i, gt_boxes in enumerate(gt_boxes_list):
         T = len(gt_boxes)
         m = np.asarray(hungarian_match(
             jnp.asarray(logits[i]), jnp.asarray(boxes[i]),
-            jnp.ones((T,), jnp.int32), jnp.asarray(gt_boxes),
-            jnp.ones((T,), bool), 200))
+            jnp.full((T,), person_class_id, jnp.int32), jnp.asarray(gt_boxes),
+            jnp.ones((T,), bool), 200, class_loss))
         unmatched = np.setdiff1d(np.arange(Q), m)
         iou = _iou(_xyxy(boxes[i, m]), _xyxy(np.asarray(gt_boxes)))
         per_image.append({
@@ -104,6 +114,7 @@ def summarize_predictions(logits: np.ndarray, boxes: np.ndarray,
         "n_images": N,
         "num_queries": Q,
         "conf": conf,
+        "class_loss": class_loss,
         "matched_p": round(matched_p, 4),
         "unmatched_max_p": round(unmatched_p, 4),
         "blend_gap": round(matched_p - unmatched_p, 4),
@@ -126,7 +137,8 @@ def summarize_predictions(logits: np.ndarray, boxes: np.ndarray,
 
 def diagnose(weights: Path, images: Path, annotations: Path, *,
              model_size: str = "small", target_hw: tuple[int, int] = (224, 384),
-             limit: int = 16, conf: float = 0.25, batch: int = 8) -> dict:
+             limit: int = 16, conf: float = 0.25, batch: int = 8,
+             class_loss: str = "ce") -> dict:
     import cv2
     import jax
     import jax.numpy as jnp
@@ -171,7 +183,7 @@ def diagnose(weights: Path, images: Path, annotations: Path, *,
 
     report = summarize_predictions(
         logits, boxes, [np.asarray(gt) for _, gt, _ in samples],
-        person_class_id=cfg.person_class_id, conf=conf)
+        person_class_id=cfg.person_class_id, conf=conf, class_loss=class_loss)
     return {"weights": str(weights), "model_size": model_size, **report}
 
 
@@ -186,6 +198,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--width", type=int, default=384)
     p.add_argument("--limit", type=int, default=16)
     p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--class-loss", choices=("ce", "focal"), default="ce",
+                   help="the CriterionConfig.class_loss the checkpoint was "
+                        "trained with — focal checkpoints have an untrained "
+                        "no-object column, so scores/matching must use "
+                        "per-class sigmoids")
     p.add_argument("--json-out", type=Path, default=None)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
@@ -198,7 +215,7 @@ def main(argv: list[str] | None = None) -> int:
     report = diagnose(
         args.weights, args.images, args.annotations,
         model_size=args.model_size, target_hw=(args.height, args.width),
-        limit=args.limit, conf=args.conf)
+        limit=args.limit, conf=args.conf, class_loss=args.class_loss)
 
     flags = [k for k, v in report["flags"].items() if v]
     print(f"{report['n_images']} images, Q={report['num_queries']}: "
