@@ -138,6 +138,19 @@ def hungarian_match(
     """Per-sample matching. Padded target slots (tgt_valid False) get a flat
     zero cost row so they absorb leftover queries without influencing real
     matches. Returns (T,) int32 query index per target slot."""
+    T, Q = tgt_labels.shape[0], logits.shape[0]
+    if T > Q:
+        # An assignment of T rows to Q distinct columns is infeasible for
+        # T > Q: the auction's price war never terminates and the returned
+        # matching is effectively random — which silently freezes training
+        # (every round-5 DETR-small run: Q=25 vs the trainer's padded
+        # max_targets=32; box losses pinned at init for hundreds of epochs).
+        # Static shapes make this a trace-time error, not a device check.
+        raise ValueError(
+            f"hungarian_match needs padded target capacity T <= num_queries "
+            f"(got T={T} > Q={Q}); clamp the target capacity (e.g. "
+            f"train_detr --max-targets) to the model's query count"
+        )
     cost = matching_cost(logits, pred_boxes, tgt_labels, tgt_boxes,
                          class_cost=class_cost, focal_alpha=focal_alpha,
                          focal_gamma=focal_gamma)

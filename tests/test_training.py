@@ -60,6 +60,42 @@ class TestAuctionMatcher:
         assert int(match[0]) == 0
         assert int(match[1]) == 3
 
+    def test_capacity_beyond_queries_is_a_trace_time_error(self):
+        # T > Q is an infeasible assignment (T rows cannot own distinct
+        # columns): the price war never terminates and the matching it
+        # returns is effectively random. This silently froze every round-5
+        # DETR-small training run (Q=25 vs the trainer's default padded
+        # max_targets=32; box losses pinned at init for hundreds of
+        # epochs) — it must be a loud error, and the trainer now clamps
+        # --max-targets to the model's query count.
+        Q, T = 4, 6
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(Q, 3)), jnp.float32)
+        boxes = jax.nn.sigmoid(jnp.asarray(rng.normal(size=(Q, 4)), jnp.float32))
+        tgt_labels = jnp.zeros((T,), jnp.int32)
+        tgt_boxes = jnp.full((T, 4), 0.5, jnp.float32)
+        tgt_valid = jnp.zeros((T,), bool).at[0].set(True)
+        with pytest.raises(ValueError, match="T <= num_queries"):
+            hungarian_match(logits, boxes, tgt_labels, tgt_boxes, tgt_valid)
+
+    def test_small_tier_geometry_matches_scipy(self):
+        # The production small-tier shape after the clamp: Q=25 queries,
+        # T=25 padded slots, few valid targets. Real targets must receive
+        # their scipy-optimal distinct queries despite 22 zero-cost padded
+        # rows competing in the same auction.
+        Q = T = 25
+        rng = np.random.default_rng(3)
+        benefit = rng.normal(size=(T, Q)).astype(np.float32)
+        valid = np.zeros(T, bool)
+        valid[:3] = True
+        masked = np.where(valid[:, None], benefit, 0.0)
+        cols = np.asarray(auction_assignment(jnp.asarray(masked), num_iters=500))
+        assert len(set(cols.tolist())) == T  # a valid matching overall
+        r, c = linear_sum_assignment(-benefit[:3])
+        got = benefit[np.arange(3), cols[:3]].sum()
+        opt = benefit[r, c].sum()
+        assert got >= opt - 0.05
+
 
 class TestCriterion:
     def _random_inputs(self, B=2, Q=8, T=3, C=4, seed=0):

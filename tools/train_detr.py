@@ -297,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
                              "the ultralytics-style recipe) or step (10x "
                              "drop at --drop-at, the DETR paper recipe)")
     parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--backbone-lr-scale", type=float, default=0.1,
+                        help="backbone LR as a fraction of --lr. 0.1 is the "
+                             "DETR paper's FINE-TUNING recipe (pretrained "
+                             "R50); training the backbone from scratch "
+                             "(no egress here) usually wants 1.0")
     parser.add_argument("--drop-at", type=int, default=None,
                         help="step at which --schedule step drops the LR")
     parser.add_argument("--accum-steps", type=int, default=1,
@@ -474,7 +479,7 @@ def main(argv: list[str] | None = None) -> int:
     steps_per_epoch = max(1, len(samples) // args.batch)
     tx = make_optimizer(
         learning_rate=args.lr,
-        backbone_lr=args.lr / 10,
+        backbone_lr=args.lr * args.backbone_lr_scale,
         schedule=None if args.schedule == "none" else args.schedule,
         total_steps=args.epochs * steps_per_epoch,
         warmup_steps=args.warmup_steps,
@@ -565,6 +570,17 @@ def main(argv: list[str] | None = None) -> int:
     # Input pipeline: decode-once LRU frame cache + a background producer
     # assembling the next batches while the device runs the current step
     # (training/data.py — the ultralytics-DataLoader analog).
+    if args.model != "yolo" and args.max_targets > cfg.num_queries:
+        # The jittable matcher needs padded capacity <= Q (an assignment of
+        # more target slots than queries is infeasible and silently breaks
+        # matching — see training/matcher.py::hungarian_match). Boxes past
+        # capacity are dropped by the loader; warn only if that can happen.
+        logger.warning(
+            "--max-targets %d exceeds the model's %d queries; clamping "
+            "(images with more than %d boxes lose the excess)",
+            args.max_targets, cfg.num_queries, cfg.num_queries,
+        )
+        args.max_targets = cfg.num_queries
     loader = COCOBatchLoader(samples, args.batch, capacity=args.max_targets,
                              seed=args.seed, depth=2)
 
