@@ -53,6 +53,17 @@ class DETRConfig:
     #: (use together with CriterionConfig.class_loss="focal" and
     #: score_mode="sigmoid"). None = zeros (softmax/CE mode).
     class_prior: float | None = None
+    #: Dense encoder-token objectness head (the two-stage Deformable-DETR /
+    #: DINO idea, arXiv:2010.04159 §4.4): a 1-logit head on the encoder
+    #: output trained against "does a GT box cover this token" — dense
+    #: supervision that forces the backbone/encoder to learn content
+    #: features even while the decoder is still anchor-blind. Without it, a
+    #: FROM-SCRATCH reduced-scale DETR settles into the measured
+    #: blind-anchor basin (decoder ignores memory -> no gradient into the
+    #: encoder -> features stay uninformative; docs/training.md "DETR
+    #: beyond tiny"). Inference ignores the head (XLA dead-code-eliminates
+    #: it from the detect program); it only adds (d_model+1) params.
+    enc_objectness: bool = False
     #: How postprocess turns logits into scores: "softmax" (DETR CE head,
     #: no-object column competes) | "sigmoid" (Deformable-DETR focal head,
     #: per-class sigmoid, no-object column ignored). Must match the
@@ -120,6 +131,10 @@ class DETRConfig:
             backbone_hidden=(64, 128, 256, 512),
             backbone_embedding=32,
             dropout=0.0,
+            # From-scratch training (no pretrained R50 in this deployment)
+            # needs the dense encoder supervision to escape the
+            # blind-anchor basin — measured in docs/training.md.
+            enc_objectness=True,
         )
         defaults.update(kw)
         return cls(**defaults)
@@ -248,6 +263,19 @@ class DETR(nn.Module):
             "encoder_output": memory,
             "feature_hw": (fh, fw),
         }
+        if cfg.enc_objectness:
+            b0 = -math.log((1.0 - 0.01) / 0.01)  # RetinaNet prior
+
+            def _obj_bias(key, shape, dtype=jnp.float32):
+                del key
+                return jnp.full(shape, b0, dtype)
+
+            enc_obj = nn.Dense(
+                1, dtype=dtype, bias_init=_obj_bias,
+                name="encoder_objectness",
+            )(memory)  # (B, L, 1)
+            out["enc_obj_logits"] = enc_obj[..., 0].astype(jnp.float32)
+            out["feature_mask"] = fmask  # (B, fh, fw) bool
         if return_aux:
             out["aux_logits"] = logits_all[:-1].astype(jnp.float32)
             out["aux_boxes"] = boxes_all[:-1]

@@ -47,6 +47,10 @@ class CriterionConfig:
     class_loss: str = "ce"
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    #: weight of the dense encoder-token objectness loss (applied only when
+    #: the model emits ``enc_obj_logits`` — DETRConfig.enc_objectness). The
+    #: two-stage Deformable-DETR keeps encoder losses at the class weight.
+    w_enc_obj: float = 2.0
 
 
 def detr_loss(
@@ -144,6 +148,64 @@ def detr_loss(
         "loss_giou": loss_giou,
         "cardinality_error": card_err,
     }
+
+
+def encoder_objectness_loss(
+    enc_logits: Array,    # (B, fh*fw) f32
+    feature_mask: Array,  # (B, fh, fw) bool, True = real (non-letterbox)
+    tgt_boxes: Array,     # (B, T, 4) cxcywh normalized to the VALID area
+    tgt_valid: Array,     # (B, T) bool
+    config: CriterionConfig = CriterionConfig(),
+) -> Array:
+    """Dense token-level objectness: sigmoid focal loss against "a valid GT
+    box covers this token's center", normalized by the global box count
+    (same convention as the class loss). The two-stage Deformable-DETR /
+    DINO encoder supervision (arXiv:2010.04159 §4.4), which gives the
+    backbone/encoder a gradient that does not route through decoder
+    cross-attention — the fix for the measured from-scratch blind-anchor
+    basin (docs/training.md "DETR beyond tiny").
+
+    GT boxes are normalized to the valid (letterboxed-content) area while
+    the token grid spans the padded canvas, so token centers are mapped
+    into content coordinates via the per-image valid-row/column fractions
+    of ``feature_mask`` (bottom/right letterbox padding convention).
+    """
+    B, fh, fw = feature_mask.shape
+    maskf = feature_mask.astype(jnp.float32)
+    # Fraction of the grid that is real content along each axis.
+    frac_y = jnp.clip(jnp.max(maskf, axis=2).sum(1) / fh, 1e-6)  # (B,)
+    frac_x = jnp.clip(jnp.max(maskf, axis=1).sum(1) / fw, 1e-6)  # (B,)
+
+    cy = (jnp.arange(fh, dtype=jnp.float32) + 0.5) / fh  # padded-normalized
+    cx = (jnp.arange(fw, dtype=jnp.float32) + 0.5) / fw
+    # Content-normalized token centers, per image: (B, fh) / (B, fw).
+    ty = cy[None, :] / frac_y[:, None]
+    tx = cx[None, :] / frac_x[:, None]
+
+    x0 = tgt_boxes[..., 0] - tgt_boxes[..., 2] / 2  # (B, T)
+    x1 = tgt_boxes[..., 0] + tgt_boxes[..., 2] / 2
+    y0 = tgt_boxes[..., 1] - tgt_boxes[..., 3] / 2
+    y1 = tgt_boxes[..., 1] + tgt_boxes[..., 3] / 2
+    in_y = (ty[:, None, :] >= y0[..., None]) & (ty[:, None, :] <= y1[..., None])
+    in_x = (tx[:, None, :] >= x0[..., None]) & (tx[:, None, :] <= x1[..., None])
+    # (B, T, fh, fw) -> any valid box covering the token.
+    covered = (
+        in_y[:, :, :, None] & in_x[:, :, None, :] & tgt_valid[..., None, None]
+    )
+    target = jnp.any(covered, axis=1).reshape(B, fh * fw).astype(jnp.float32)
+
+    logits = enc_logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    bce = -(target * jax.nn.log_sigmoid(logits)
+            + (1.0 - target) * jax.nn.log_sigmoid(-logits))
+    p_t = p * target + (1.0 - p) * (1.0 - target)
+    a_t = (config.focal_alpha * target
+           + (1.0 - config.focal_alpha) * (1.0 - target))
+    focal = a_t * (1.0 - p_t) ** config.focal_gamma * bce
+    # Letterbox-padding tokens carry no signal — mask them out.
+    focal = focal * feature_mask.reshape(B, fh * fw).astype(jnp.float32)
+    num_boxes = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(focal) / num_boxes
 
 
 def pack_targets(

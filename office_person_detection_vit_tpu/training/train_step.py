@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.detr import DETR, DETRConfig
 from ..parallel.mesh import DATA_AXIS
 from ..parallel.sharding import param_specs
-from .criterion import CriterionConfig, detr_loss
+from .criterion import CriterionConfig, detr_loss, encoder_objectness_loss
 
 
 @jax.tree_util.register_dataclass
@@ -248,6 +248,16 @@ def _loss_fn(
         )
         total = total + aux_total
         metrics["loss_aux"] = aux_total
+        metrics["loss"] = total
+    if "enc_obj_logits" in out:
+        # Dense encoder supervision (DETRConfig.enc_objectness): gradient
+        # into the backbone/encoder that bypasses decoder cross-attention.
+        enc = encoder_objectness_loss(
+            out["enc_obj_logits"], out["feature_mask"],
+            tgt_boxes, tgt_valid, criterion,
+        )
+        total = total + criterion.w_enc_obj * enc
+        metrics["loss_enc_obj"] = enc
         metrics["loss"] = total
     return total, metrics
 

@@ -278,6 +278,14 @@ def main(argv: list[str] | None = None) -> int:
                              "(+ prior-bias head init, sigmoid eval scores) "
                              "— removes the symmetric-blend attractor "
                              "measured at reduced scale (docs/training.md)")
+    parser.add_argument("--w-class", type=float, default=None,
+                        help="classification loss weight override (defaults: "
+                             "1.0 for ce, the Deformable-DETR 2.0 for focal). "
+                             "Raising it is the lever for a class-confidence "
+                             "fine-tune phase on a box-converged checkpoint")
+    parser.add_argument("--focal-alpha", type=float, default=0.25,
+                        help="focal alpha (positive-term weight) when "
+                             "--class-loss focal")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize transformer layers (less HBM, ~1 extra fwd)")
     parser.add_argument("--dropout", type=float, default=None,
@@ -501,13 +509,18 @@ def main(argv: list[str] | None = None) -> int:
     step_kwargs = dict(
         ema_decay=args.ema if use_ema else None, augment=aug_cfg,
     )
-    if args.model != "yolo" and args.class_loss == "focal":
+    if args.model != "yolo" and (args.class_loss == "focal"
+                                 or args.w_class is not None):
         from office_person_detection_vit_tpu.training import CriterionConfig
 
         # Deformable-DETR loss weights: w_class 2.0 under focal (their
-        # reference config); box weights unchanged.
+        # reference config); box weights unchanged. --w-class overrides for
+        # class-confidence fine-tune phases.
+        default_w = 2.0 if args.class_loss == "focal" else 1.0
         step_kwargs["criterion"] = CriterionConfig(
-            num_classes=cfg.num_classes, class_loss="focal", w_class=2.0,
+            num_classes=cfg.num_classes, class_loss=args.class_loss,
+            w_class=args.w_class if args.w_class is not None else default_w,
+            focal_alpha=args.focal_alpha,
         )
     start_epoch = 0
     if args.resume_from and args.resume_from.exists():
@@ -629,12 +642,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.evaluate:
         run_eval(start_epoch)  # pre-training baseline (epoch = start)
 
+    # Full-batch mode (batch == dataset): every epoch is the SAME single
+    # batch, so keep it device-resident instead of re-uploading it each
+    # epoch — over a remote tunnel the re-upload dominates the step
+    # (265 MB/epoch measured at 96x720p, ~6 s/epoch at ~50 MB/s, and the
+    # runtime's deferred-upload bookkeeping leaked the host copy: 130 GB
+    # RSS after 494 epochs). On-device augmentation still varies per step
+    # (it draws from the per-step rng inside the jitted program).
+    cache_device_batch = args.batch >= len(samples)
+    if cache_device_batch:
+        logger.info("full-batch run: caching the device batch across epochs")
+    device_batch = None
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         losses = []  # device scalars; fetched once per epoch so async
         comps: dict[str, list] = {}
-        for host_batch in loader.epoch(epoch):  # prefetch overlaps compute
-            batch = shard_batch(to_device(host_batch))
+        for host_batch in (
+            [None] if device_batch is not None else loader.epoch(epoch)
+        ):
+            if host_batch is None:
+                batch = device_batch
+            else:
+                batch = shard_batch(to_device(host_batch))
+                if cache_device_batch:
+                    device_batch = batch
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             losses.append(metrics["loss"])
