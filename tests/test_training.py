@@ -408,6 +408,105 @@ class TestSSDCriterion:
         assert float(metrics["num_pos"]) >= 1
 
 
+class TestEncoderObjectnessLoss:
+    """Dense encoder-token supervision (DETRConfig.enc_objectness) — the
+    from-scratch blind-anchor fix (docs/training.md 'DETR beyond tiny')."""
+
+    def _loss(self, logits, mask, boxes, valid):
+        from office_person_detection_vit_tpu.training.criterion import (
+            encoder_objectness_loss,
+        )
+
+        return float(encoder_objectness_loss(
+            jnp.asarray(logits), jnp.asarray(mask),
+            jnp.asarray(boxes), jnp.asarray(valid),
+        ))
+
+    def test_correct_tokens_minimize_the_loss(self):
+        # One GT box covering the grid's center; logits that agree (high
+        # inside, low outside) must score far below the inverted ones.
+        fh, fw = 4, 6
+        mask = np.ones((1, fh, fw), bool)
+        boxes = np.asarray([[[0.5, 0.5, 0.34, 0.5]]], np.float32)  # cxcywh
+        valid = np.ones((1, 1), bool)
+        ty = (np.arange(fh) + 0.5) / fh
+        tx = (np.arange(fw) + 0.5) / fw
+        inside = ((np.abs(ty[:, None] - 0.5) <= 0.25)
+                  & (np.abs(tx[None, :] - 0.5) <= 0.17))
+        good = np.where(inside, 8.0, -8.0)[None].reshape(1, fh * fw)
+        assert self._loss(good, mask, boxes, valid) < 1e-3
+        assert self._loss(-good, mask, boxes, valid) > 1.0
+
+    def test_letterbox_padding_tokens_are_ignored(self):
+        # Bottom two rows are padding: their logits must not affect the loss.
+        fh, fw = 4, 4
+        mask = np.ones((1, fh, fw), bool)
+        mask[:, 2:] = False
+        boxes = np.asarray([[[0.5, 0.5, 0.6, 0.6]]], np.float32)
+        valid = np.ones((1, 1), bool)
+        base = np.zeros((1, fh * fw), np.float32)
+        noisy = base.copy().reshape(1, fh, fw)
+        noisy[:, 2:] = 37.0  # garbage only where padded
+        l0 = self._loss(base, mask, boxes, valid)
+        l1 = self._loss(noisy.reshape(1, fh * fw), mask, boxes, valid)
+        assert l0 == pytest.approx(l1)
+
+    def test_padding_rescales_gt_into_content_coords(self):
+        # GT boxes are normalized to the CONTENT area; with the bottom half
+        # padded, a GT at content-y 0.75 sits at padded-row ~0.375 of the
+        # grid. The target for the covering token must follow the content
+        # mapping, not the raw grid fraction.
+        fh, fw = 8, 4
+        mask = np.ones((1, fh, fw), bool)
+        mask[:, 4:] = False  # content = top half
+        boxes = np.asarray([[[0.5, 0.75, 1.0, 0.26]]], np.float32)
+        valid = np.ones((1, 1), bool)
+        # Content row for y=0.75 with frac_y=0.5: padded y = 0.375 -> row 3.
+        hit = np.full((1, fh, fw), -8.0, np.float32)
+        hit[:, 3] = 8.0
+        miss = np.full((1, fh, fw), -8.0, np.float32)
+        miss[:, 6] = 8.0  # the naive (un-rescaled) row — inside padding
+        assert (self._loss(hit.reshape(1, -1), mask, boxes, valid)
+                < self._loss(miss.reshape(1, -1), mask, boxes, valid))
+
+    def test_model_emits_head_and_train_step_consumes_it(self):
+        from office_person_detection_vit_tpu.models.detr import (
+            DETRConfig,
+            init_detr,
+        )
+        from office_person_detection_vit_tpu.training import (
+            TrainState,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = DETRConfig.tiny(enc_objectness=True, class_prior=0.01,
+                              score_mode="sigmoid")
+        model, variables = init_detr(cfg, jax.random.PRNGKey(0),
+                                     input_hw=(64, 64))
+        assert "encoder_objectness" in variables["params"]
+        tx = make_optimizer(learning_rate=1e-3)
+        state = TrainState.create(variables["params"], tx)
+        from office_person_detection_vit_tpu.training.train_step import (
+            CriterionConfig,
+        )
+
+        step = make_train_step(model, tx, criterion=CriterionConfig(
+            num_classes=cfg.num_classes, class_loss="focal"))
+        B, H, W = 2, 64, 64
+        rng = np.random.default_rng(0)
+        batch = {
+            "pixels": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+            "pixel_mask": jnp.ones((B, H, W), bool),
+            "labels": jnp.ones((B, 2), jnp.int32),
+            "boxes": jnp.asarray(rng.uniform(0.3, 0.6, (B, 2, 4)), jnp.float32),
+            "valid": jnp.ones((B, 2), bool),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert "loss_enc_obj" in metrics
+        assert np.isfinite(float(metrics["loss_enc_obj"]))
+
+
 class TestCriterionScatterFix:
     def test_padded_slot_does_not_clobber_query0(self):
         """A padded target slot must not overwrite a real label matched to

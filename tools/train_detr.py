@@ -649,24 +649,34 @@ def main(argv: list[str] | None = None) -> int:
     # runtime's deferred-upload bookkeeping leaked the host copy: 130 GB
     # RSS after 494 epochs). On-device augmentation still varies per step
     # (it draws from the per-step rng inside the jitted program).
-    cache_device_batch = args.batch >= len(samples)
+    # Covers plain full-batch (batch == dataset) and accumulated full-batch
+    # (batch x accum_steps >= dataset): in both, every epoch consumes the
+    # whole dataset and the gradient is the full-batch gradient regardless
+    # of batch composition, so epoch-0's device batches can be reused
+    # verbatim. On-device augmentation still varies per step (per-step rng
+    # inside the jitted program).
+    cache_device_batch = args.batch * args.accum_steps >= len(samples)
     if cache_device_batch:
-        logger.info("full-batch run: caching the device batch across epochs")
-    device_batch = None
+        logger.info("full-batch run: caching device batches across epochs")
+    device_batches: list | None = None
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
         losses = []  # device scalars; fetched once per epoch so async
         comps: dict[str, list] = {}
+        filling = cache_device_batch and device_batches is None
+        if filling:
+            device_batches = []
         for host_batch in (
-            [None] if device_batch is not None else loader.epoch(epoch)
+            device_batches if (cache_device_batch and not filling)
+            else loader.epoch(epoch)
         ):
-            if host_batch is None:
-                batch = device_batch
+            if cache_device_batch and not filling:
+                batch = host_batch  # already a device batch
             else:
                 batch = shard_batch(to_device(host_batch))
-                if cache_device_batch:
-                    device_batch = batch
+                if filling:
+                    device_batches.append(batch)
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             losses.append(metrics["loss"])
