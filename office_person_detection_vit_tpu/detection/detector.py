@@ -67,6 +67,12 @@ class DETRDetector:
             int(get("detection.input_width", 1280)),
         )
         self.checkpoint_path = get("detection.checkpoint_path", None)
+        # Optional greedy NMS over the query set (reference detector
+        # contract nms_threshold, config.yaml.disabled:38). None = off (the
+        # DETR-paper default); set for reduced-scale focal checkpoints
+        # whose set loss has not fully learned duplicate suppression.
+        _nms = get("detection.nms_threshold", None)
+        self.nms_threshold = float(_nms) if _nms is not None else None
         self.device_pref = str(get("detection.device", "auto"))
         # "i420" ships 1.5 bytes/px instead of 3 over the host->device link
         # (the video source is 4:2:0 anyway, so no extra information loss);
@@ -296,7 +302,8 @@ class DETRDetector:
                 out = model.apply(variables, pixels, mask, deterministic=True)
                 batch = postprocess_detr(
                     out["logits"], out["boxes"], orig_wh, conf, person_class_id=person,
-                    score_mode=self.detr_config.score_mode
+                    score_mode=self.detr_config.score_mode,
+                    nms_iou=self.nms_threshold,
                 )
                 return batch, out["encoder_output"]
 
@@ -310,7 +317,8 @@ class DETRDetector:
                 out = model.apply(variables, pixels, mask, deterministic=True)
                 batch = postprocess_detr(
                     out["logits"], out["boxes"], orig_wh, conf, person_class_id=person,
-                    score_mode=self.detr_config.score_mode
+                    score_mode=self.detr_config.score_mode,
+                    nms_iou=self.nms_threshold,
                 )
                 # The reconstructed last frame stays DEVICE-resident and
                 # seeds the next chunk's XOR scan — no wire cost.

@@ -28,6 +28,7 @@ def postprocess_detr(
     confidence_threshold: float | Array = 0.5,
     person_class_id: int = 1,
     score_mode: str = "softmax",
+    nms_iou: float | None = None,
 ) -> DetectionBatch:
     if score_mode == "sigmoid":
         # Deformable-DETR focal head (criterion class_loss="focal"):
@@ -45,6 +46,17 @@ def postprocess_detr(
     boxes_xywh = box_ops.xyxy_to_xywh(boxes_xyxy)
 
     valid = (labels == person_class_id) & (scores >= confidence_threshold)
+    if nms_iou is not None:
+        # Optional greedy NMS (reference detector contract nms_threshold,
+        # config.yaml.disabled:38). Paper-scale DETR needs no NMS — its set
+        # loss learns suppression — but the from-scratch reduced-scale tier
+        # emits ~2 confident queries per object (measured: val precision
+        # capped at ~0.47 with recall climbing, docs/training.md), so the
+        # sigmoid/focal path exposes it as an opt-in.
+        keep = jax.vmap(
+            lambda b, s, v: box_ops.nms_mask(b, s, nms_iou, v)
+        )(boxes_xyxy, scores, valid)
+        valid = valid & keep
     foot = box_ops.foot_point_xywh(boxes_xywh)
     return DetectionBatch(
         boxes_xywh=boxes_xywh,

@@ -109,3 +109,47 @@ class TestPersonScores:
         assert probs.shape == (F, Q)
         full = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
         np.testing.assert_allclose(probs, full[..., 1], atol=1e-6)
+
+
+class TestPostprocessNMS:
+    """Opt-in greedy NMS over the query set (reference detector contract
+    nms_threshold, config.yaml.disabled:38) — duplicate-query suppression
+    for reduced-scale focal checkpoints (docs/training.md)."""
+
+    def test_duplicates_suppressed_keeping_best_score(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from office_person_detection_vit_tpu.models.postprocess import (
+            postprocess_detr,
+        )
+
+        C = 3
+        logits = np.full((1, 4, C + 1), -8.0, np.float32)
+        logits[0, :, 1] = [3.0, 2.0, 2.5, -8.0]  # q3 below threshold
+        boxes = np.asarray([[[0.30, 0.30, 0.10, 0.20],
+                             [0.31, 0.30, 0.10, 0.20],   # duplicate of q0
+                             [0.70, 0.60, 0.10, 0.20],   # distinct person
+                             [0.50, 0.50, 0.10, 0.20]]], np.float32)
+        out = postprocess_detr(jnp.asarray(logits), jnp.asarray(boxes),
+                               jnp.asarray([1280.0, 720.0]), 0.5,
+                               person_class_id=1, nms_iou=0.5)
+        valid = np.asarray(out.valid[0])
+        assert valid.tolist() == [True, False, True, False]
+
+    def test_none_disables_nms(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from office_person_detection_vit_tpu.models.postprocess import (
+            postprocess_detr,
+        )
+
+        logits = np.full((1, 2, 4), -8.0, np.float32)
+        logits[0, :, 1] = 3.0
+        boxes = np.tile(np.asarray([[[0.3, 0.3, 0.1, 0.2]]], np.float32),
+                        (1, 2, 1))
+        out = postprocess_detr(jnp.asarray(logits), jnp.asarray(boxes),
+                               jnp.asarray([1280.0, 720.0]), 0.5,
+                               person_class_id=1, nms_iou=None)
+        assert np.asarray(out.valid[0]).all()  # both kept without NMS

@@ -167,6 +167,8 @@ def cmd_gen_config(args) -> int:
             "batch_size": 8,
             "device": args.device,
             "model_size": args.size,
+            "score_mode": args.score_mode,
+            "nms_threshold": args.nms,
             "checkpoint_path": str(Path(args.weights).resolve()),
             "input_height": args.height,
             "input_width": args.width,
@@ -283,6 +285,13 @@ def main(argv=None) -> int:
     c.add_argument("--model", default="detr", choices=["detr", "yolo", "ssd"])
     c.add_argument("--yolo-variant", default="n")
     c.add_argument("--size", default="tiny", choices=["full", "small", "tiny"])
+    c.add_argument("--nms", type=float, default=None,
+                   help="detection.nms_threshold (reduced-scale focal "
+                        "DETR checkpoints emit duplicate queries)")
+    c.add_argument("--score-mode", default="softmax",
+                   choices=["softmax", "sigmoid"],
+                   help="must match the checkpoint's training criterion "
+                        "(sigmoid for --class-loss focal checkpoints)")
     c.add_argument("--device", default="auto")
     c.add_argument("--conf", type=float, default=0.5)
     c.add_argument("--height", type=int, default=224)

@@ -112,7 +112,8 @@ EVAL_WH = (1280, 720)
 
 def evaluate_detector(model, params, samples, *, target_hw, cfg,
                       is_yolo: bool = False, batch: int = 8,
-                      conf: float = 0.25, iou: float = 0.5):
+                      conf: float = 0.25, iou: float = 0.5,
+                      nms_iou: float | None = None):
     """Score the model on COCO samples with the framework's own
     DetectionBenchmark (P/R/F1, AP@50/75, mAP@[.5:.95]).
 
@@ -156,6 +157,7 @@ def evaluate_detector(model, params, samples, *, target_hw, cfg,
             return postprocess_detr(
                 out["logits"], out["boxes"], orig_wh, conf,
                 score_mode=getattr(cfg, "score_mode", "softmax"),
+                nms_iou=nms_iou,
             )
 
     fwd = jax.jit(_fwd)
@@ -335,6 +337,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="confidence threshold for evaluation "
                              "(reference best_threshold 0.20-0.25)")
     parser.add_argument("--eval-iou", type=float, default=0.5)
+    parser.add_argument("--eval-nms", type=float, default=None,
+                        help="apply greedy NMS at this IoU during --evaluate "
+                             "(match detection.nms_threshold used in the "
+                             "pipeline for reduced-scale focal checkpoints)")
     parser.add_argument("--val-images", type=Path, default=None,
                         help="val image dir (default: --images)")
     parser.add_argument("--val-annotations", type=Path, default=None,
@@ -568,6 +574,7 @@ def main(argv: list[str] | None = None) -> int:
             target_hw=target_hw, cfg=cfg, is_yolo=args.model == "yolo",
             batch=min(args.batch, len(val_samples)),
             conf=args.eval_conf, iou=args.eval_iou,
+            nms_iou=args.eval_nms,
         )
         entry = {"epoch": epoch, **res.to_dict()}
         history.setdefault("evals", []).append(entry)
