@@ -136,7 +136,7 @@ class TestCommittedShowcaseScore:
 class TestCommittedDETRShowcase:
     """Round 5: the PRIMARY detector's closed loop (VERDICT r4 #1). The
     committed artifact is the first DETR-family run with held-out
-    generalization evidence (val F1 0.015 -> 0.781 across rounds 4 -> 5;
+    generalization evidence (val F1 0.015 -> 0.878 across rounds 4 -> 5;
     docs/training.md 'DETR beyond tiny' documents the three root causes
     fixed en route: infeasible T>Q matching, mini-batch match churn, and
     the from-scratch blind-anchor basin). Thresholds gate the achieved
@@ -160,16 +160,16 @@ class TestCommittedDETRShowcase:
         assert s["meta"]["detector"] == "detr-small-trained"
         assert s["num_frames"] >= 100
         assert s["num_objects"] == 4 * s["num_frames"]
-        assert float(s["meta"]["train_val_f1"]) >= 0.7  # held-out val
-        assert s["mota"] >= 0.25, s
-        assert s["idf1"] >= 0.25, s
+        assert float(s["meta"]["train_val_f1"]) >= 0.85  # held-out val
+        assert s["mota"] >= 0.4, s
+        assert s["idf1"] >= 0.35, s
 
     def test_heldout_sweep_shows_generalization(self):
         import json
 
         d = json.loads(self.SWEEP.read_text())
         best = d["best"]
-        assert best["f1"] >= 0.7 and best["recall"] >= 0.8
+        assert best["f1"] >= 0.85 and best["recall"] >= 0.9
         # High-recall operating point exists (the pipeline runs at it).
         rows = {(r["split"], r["conf"], r["nms"]): r for r in d["rows"]}
         r = rows[("val", 0.2, 0.3)]
