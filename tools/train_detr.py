@@ -637,6 +637,12 @@ def main(argv: list[str] | None = None) -> int:
         "accum_steps": args.accum_steps, "ema": args.ema,
         "augment": bool(args.augment),
         "class_loss": args.class_loss,
+        "w_class": args.w_class, "focal_alpha": args.focal_alpha,
+        "backbone_lr_scale": args.backbone_lr_scale,
+        "eval_nms": args.eval_nms, "max_targets": args.max_targets,
+        "enc_objectness": bool(
+            args.model != "yolo" and getattr(cfg, "enc_objectness", False)
+        ),
     }}
     if args.resume_from and history_path.exists():
         prev = json.loads(history_path.read_text())
